@@ -1,0 +1,202 @@
+"""Typed configuration for the TPU-native LeGO-LOAM engine.
+
+Single source of truth for every tunable the reference exposes
+(``/root/reference/LeGO-LOAM/config/loam_config.yaml:1-35``, loaded at
+``imageProjection.cpp:57-84``, ``featureAssociation.cpp:69-81``,
+``mapOptmization.cpp:92-112``) plus every constant the reference hard-codes
+(voxel leaf sizes ``featureAssociation.cpp:101`` / ``mapOptmization.cpp:71-84``,
+keyframe gap ``mapOptmization.cpp:1346``, LM iteration counts, degeneracy
+thresholds, correspondence weight formulas).
+
+All geometry-shaping fields are static Python values so that jitted functions
+specialise on them (static shapes are mandatory under XLA).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class LaserConfig:
+    """Sensor geometry (reference: ``loam_config.yaml:3-11``)."""
+
+    num_vertical_scans: int = 16
+    num_horizontal_scans: int = 1800
+    ground_scan_index: int = 7
+    vertical_angle_bottom_deg: float = -15.0
+    vertical_angle_top_deg: float = 15.0
+    sensor_mount_angle_deg: float = 0.0
+    scan_period: float = 0.1
+    min_range: float = 0.1          # imageProjection.cpp:207 (range < 0.1 drop)
+
+    @property
+    def ang_res_x(self) -> float:
+        return 2.0 * math.pi / self.num_horizontal_scans
+
+    @property
+    def ang_res_y(self) -> float:
+        return math.radians(
+            self.vertical_angle_top_deg - self.vertical_angle_bottom_deg
+        ) / max(self.num_vertical_scans - 1, 1)
+
+    @property
+    def ang_bottom(self) -> float:
+        return math.radians(-self.vertical_angle_bottom_deg)
+
+    @property
+    def image_size(self) -> Tuple[int, int]:
+        return (self.num_vertical_scans, self.num_horizontal_scans)
+
+
+@dataclasses.dataclass(frozen=True)
+class ProjectionConfig:
+    """Stage-1 segmentation knobs (reference: ``loam_config.yaml:13-17``)."""
+
+    segment_theta_deg: float = 60.0           # merge criterion angle
+    segment_valid_point_num: int = 5
+    segment_valid_line_num: int = 3
+    segment_min_point_num: int = 30           # imageProjection.cpp:477
+    ground_angle_threshold_deg: float = 10.0  # imageProjection.cpp:283
+    ground_decimation: int = 5                # imageProjection.cpp:374
+    # fork's 2D virtual scan band (imageProjection.cpp:311-330)
+    virtual_scan_z_min: float = 0.4
+    virtual_scan_z_max: float = 1.2
+    virtual_scan_max_range: float = 40.0
+    # fixed-point label-propagation cap (TPU replacement for BFS)
+    max_label_iters: int = 64
+
+
+@dataclasses.dataclass(frozen=True)
+class FeatureConfig:
+    """Stage-2 feature/odometry knobs (``loam_config.yaml:19-23`` +
+    hard-codes in ``featureAssociation.cpp``)."""
+
+    edge_threshold: float = 0.1
+    surf_threshold: float = 0.1
+    nearest_feature_search_dist: float = 5.0   # metres (squared at use sites)
+    num_sectors: int = 6                       # featureAssociation.cpp:274
+    sharp_per_sector: int = 2                  # :302
+    less_sharp_per_sector: int = 20            # :304
+    flat_per_sector: int = 4                   # :345
+    neighbor_suppression: int = 5              # :306-326 (±5)
+    occlusion_col_diff: int = 10               # :233
+    occlusion_range_jump: float = 0.3          # :234
+    surf_leaf_size: float = 0.2                # :101
+    # solver
+    odom_surf_iters: int = 25                  # :1221
+    odom_corner_iters: int = 25                # :1228
+    reassociate_every: int = 5                 # :511,649
+    degeneracy_eig_threshold: float = 10.0     # :884
+    delta_r_converged_deg: float = 0.1         # :915
+    delta_t_converged_cm: float = 0.1          # :917
+    min_corner_features: int = 10              # :1214
+    min_surf_features: int = 100               # :1214
+    ring_window: float = 2.5                   # ±2.5 rings (:556,:678)
+    # fixed capacities for masked arrays
+    max_sharp: int = 256                       # 2*6*16=192 rounded up
+    max_less_sharp: int = 2048                 # 20*6*16=1920 rounded up
+    max_flat: int = 512                        # 4*6*16=384 rounded up
+    max_less_flat: int = 8192                  # voxel-downsampled ground/planar
+
+
+@dataclasses.dataclass(frozen=True)
+class MappingConfig:
+    """Stage-3 knobs (``loam_config.yaml:24-35`` + ``mapOptmization.cpp``)."""
+
+    mapping_frequency_divider: int = 5
+    enable_loop_closure: bool = True
+    surrounding_keyframe_search_radius: float = 50.0
+    surrounding_keyframe_search_num: int = 50
+    history_keyframe_search_radius: float = 7.0
+    history_keyframe_search_num: int = 25
+    history_keyframe_fitness_score: float = 0.3
+    global_map_visualization_search_radius: float = 500.0
+    loop_closure_time_gap: float = 30.0        # mapOptmization.cpp:713
+    keyframe_distance: float = 0.3             # :1346
+    corner_leaf_size: float = 0.2              # :71-84
+    surf_leaf_size: float = 0.4
+    outlier_leaf_size: float = 0.4
+    surrounding_pose_leaf_size: float = 1.0
+    scan2map_iters: int = 10                   # :1323
+    degeneracy_eig_threshold: float = 100.0    # :1274
+    delta_r_converged_deg: float = 0.05        # :1297
+    delta_t_converged_cm: float = 0.05         # :1299
+    min_corner_map: int = 10                   # :1316
+    min_surf_map: int = 100
+    min_selected_points: int = 50              # :1201
+    corner_line_eig_ratio: float = 3.0         # :1082 (λmax > 3 λmid)
+    plane_fit_tolerance: float = 0.2           # :1170
+    neighbor_radius: float = 1.0               # :1076 (5-NN all within 1 m)
+    # fixed capacities
+    max_map_corner: int = 16384
+    max_map_surf: int = 32768
+    max_scan_corner: int = 2048
+    max_scan_surf: int = 8192
+    max_keyframes: int = 4096
+    # loop-closure ICP (mapOptmization.cpp:785-796)
+    icp_max_iters: int = 100
+    icp_max_corr_dist: float = 100.0
+    icp_eps: float = 1.0e-6
+
+
+@dataclasses.dataclass(frozen=True)
+class Grid2DConfig:
+    """2D occupancy grid (``probability_grid_map.h:17-23``,
+    ``mapOptmization.cpp:602``)."""
+
+    resolution: float = 0.05
+    log_odds_free: int = -2
+    log_odds_occupied: int = 3
+    clamp_min: int = 0
+    clamp_max: int = 100
+    unknown: int = 50
+    max_cells: int = 1024           # grid side length (cells)
+    max_ray_steps: int = 512        # vectorized DDA step cap
+    max_scan_points: int = 1800     # one per azimuth column
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Orchestration + capacities shared across stages."""
+
+    max_points: int = 32768          # raw cloud capacity (16*1800 = 28800)
+    max_segmented: int = 16384       # compacted segmented cloud capacity
+    max_outlier: int = 4096
+    odometry_only: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class LegoLoamConfig:
+    laser: LaserConfig = dataclasses.field(default_factory=LaserConfig)
+    projection: ProjectionConfig = dataclasses.field(
+        default_factory=ProjectionConfig)
+    feature: FeatureConfig = dataclasses.field(default_factory=FeatureConfig)
+    mapping: MappingConfig = dataclasses.field(default_factory=MappingConfig)
+    grid2d: Grid2DConfig = dataclasses.field(default_factory=Grid2DConfig)
+    pipeline: PipelineConfig = dataclasses.field(
+        default_factory=PipelineConfig)
+
+    def replace(self, **kw) -> "LegoLoamConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def vlp16() -> LegoLoamConfig:
+    """Default VLP-16 configuration — matches the reference yaml exactly."""
+    return LegoLoamConfig()
+
+
+def hdl64() -> LegoLoamConfig:
+    """KITTI HDL-64 configuration (BASELINE.json config 4)."""
+    return LegoLoamConfig(
+        laser=LaserConfig(
+            num_vertical_scans=64,
+            num_horizontal_scans=2083,
+            ground_scan_index=50,
+            vertical_angle_bottom_deg=-24.8,
+            vertical_angle_top_deg=2.0,
+        ),
+        pipeline=PipelineConfig(max_points=140000, max_segmented=65536),
+    )

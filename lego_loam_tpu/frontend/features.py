@@ -1,0 +1,216 @@
+"""Stage 2a — curvature, occlusion masking, sector top-k feature selection.
+
+Reimplements ``calculateSmoothness`` / ``markOccludedPoints`` /
+``extractFeatures`` (``featureAssociation.cpp:200-383``) over the per-ring
+compacted ``SegmentedCloud`` (V, S) arrays.
+
+The reference's per-sector sort + sequential greedy pick (with ±5 neighbor
+suppression that stops at column gaps > 10) is reproduced as a short
+``fori_loop`` of masked argmax picks, vmapped over all (ring, sector) pairs
+simultaneously — 20 sequential steps total instead of 96 sequential sorts.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import LegoLoamConfig
+from ..core.types import FeatureCloud, FeatureSet, SegmentedCloud
+from ..match.voxelhash import voxel_downsample_with_payload
+
+Array = jax.Array
+
+_BIG = jnp.float32(1e18)
+
+
+def compute_curvature(seg: SegmentedCloud) -> Array:
+    """Squared 10-neighbour range difference (``featureAssociation.cpp:
+    200-223``): c_j = (Σ_{l=±1..5} r_{j+l} − 10 r_j)²  per ring row."""
+    r = jnp.where(seg.valid, seg.rng, 0.0)
+    acc = -10.0 * r
+    for l in range(1, 6):
+        acc = acc + jnp.roll(r, l, axis=1) + jnp.roll(r, -l, axis=1)
+    return acc * acc
+
+
+def occlusion_mask(seg: SegmentedCloud, cfg: LegoLoamConfig) -> Array:
+    """Initial neighbor-picked mask (``markOccludedPoints``,
+    ``featureAssociation.cpp:226-262``): occlusion boundaries (range jump
+    > 0.3 m within 10 columns → 6 far-side points masked) plus isolated
+    points (both neighbors differ > 2 % of range)."""
+    f = cfg.feature
+    r = seg.rng
+    col = seg.col
+    v = seg.valid
+
+    d1 = r                                   # depth at j
+    d2 = jnp.roll(r, -1, axis=1)             # depth at j+1
+    col_diff = jnp.abs(jnp.roll(col, -1, axis=1) - col)
+    pair_ok = v & jnp.roll(v, -1, axis=1) & (col_diff < f.occlusion_col_diff)
+
+    far_is_left = pair_ok & (d1 - d2 > f.occlusion_range_jump)   # mask j-5..j
+    far_is_right = pair_ok & (d2 - d1 > f.occlusion_range_jump)  # mask j+1..j+6
+
+    picked = jnp.zeros_like(v)
+    for l in range(0, 6):                 # flag at j masks positions j-5..j
+        picked = picked | jnp.roll(far_is_left, -l, axis=1)
+    for l in range(1, 7):                 # flag at j masks positions j+1..j+6
+        picked = picked | jnp.roll(far_is_right, l, axis=1)
+
+    prev_diff = jnp.abs(jnp.roll(r, 1, axis=1) - r)
+    next_diff = jnp.abs(jnp.roll(r, -1, axis=1) - r)
+    isolated = v & (prev_diff > 0.02 * r) & (next_diff > 0.02 * r)
+    return (picked | isolated) & v
+
+
+def _sector_bounds(count: Array, num_sectors: int, guard: int = 5):
+    """Per-(ring, sector) inclusive index bounds [sp, ep], matching
+    ``featureAssociation.cpp:274-281`` with the ±5 guard bands baked into
+    startRingIndex/endRingIndex (``imageProjection.cpp:362,397``)."""
+    start = jnp.full_like(count, guard - 1)          # local startRingIndex
+    end = count - 1 - guard                          # local endRingIndex
+    k = jnp.arange(num_sectors)
+    sp = (start[:, None] * (num_sectors - k) + end[:, None] * k) // num_sectors
+    ep = (start[:, None] * (num_sectors - 1 - k)
+          + end[:, None] * (k + 1)) // num_sectors - 1
+    return sp, ep
+
+
+def _suppress_neighbors(idx: Array, col: Array, S: int,
+                        max_gap: int, reach: int = 5) -> Array:
+    """Suppression mask for one pick at compacted index ``idx`` in a ring:
+    ±``reach`` neighbours, stopping at column gaps > ``max_gap``
+    (``featureAssociation.cpp:306-326``).  Returns (S,) bool."""
+    pos = jnp.arange(S)
+    mask = pos == idx
+    ok_fwd = jnp.bool_(True)
+    ok_bwd = jnp.bool_(True)
+    for l in range(1, reach + 1):
+        jf = jnp.clip(idx + l, 0, S - 1)
+        gap_f = jnp.abs(col[jf] - col[jnp.clip(idx + l - 1, 0, S - 1)])
+        ok_fwd = ok_fwd & (gap_f <= max_gap) & (idx + l < S)
+        mask = mask | (ok_fwd & (pos == idx + l))
+        jb = jnp.clip(idx - l, 0, S - 1)
+        gap_b = jnp.abs(col[jb] - col[jnp.clip(idx - l + 1, 0, S - 1)])
+        ok_bwd = ok_bwd & (gap_b <= max_gap) & (idx - l >= 0)
+        mask = mask | (ok_bwd & (pos == idx - l))
+    return mask
+
+
+def _greedy_pick(score: Array, eligible0: Array, picked0: Array, col: Array,
+                 n_picks: int, maximize: bool, cfg: LegoLoamConfig):
+    """Run ``n_picks`` rounds of (argbest over each ring×sector, mark,
+    suppress).  Returns (pick_mask (V,K,S) one-hot per round stacked into
+    rank order, picked)."""
+    f = cfg.feature
+    V, K, S = eligible0.shape
+
+    def body(carry, _):
+        picked, rank = carry
+        elig = eligible0 & ~picked[:, None, :]
+        s = jnp.where(elig, score[:, None, :], -_BIG if maximize else _BIG)
+        idx = (jnp.argmax(s, axis=-1) if maximize
+               else jnp.argmin(s, axis=-1))                    # (V,K)
+        has = jnp.any(elig, axis=-1)                           # (V,K)
+
+        sup = jax.vmap(  # over rings
+            jax.vmap(_suppress_neighbors, in_axes=(0, None, None, None)),
+            in_axes=(0, 0, None, None),
+        )(idx, col, S, f.occlusion_col_diff)                   # (V,K,S)
+        sup = sup & has[:, :, None]
+        one_hot = sup & (jnp.arange(S) == idx[:, :, None]) & has[:, :, None]
+        picked = picked | jnp.any(sup, axis=1)
+        return (picked, rank + 1), one_hot
+
+    (picked, _), onehots = jax.lax.scan(
+        body, (picked0, jnp.int32(0)), None, length=n_picks)
+    return onehots, picked        # (n_picks, V, K, S), (V,S)
+
+
+def _gather_features(seg: SegmentedCloud, mask: Array, capacity: int,
+                     rings: Array) -> FeatureCloud:
+    """Compact a (V,S) selection mask into a fixed-capacity FeatureCloud."""
+    V, S = mask.shape
+    flat = mask.reshape(-1)
+    order = jnp.argsort(~flat, stable=True)[:capacity]
+    n = jnp.sum(flat)
+    valid = jnp.arange(capacity) < n
+    xyz = seg.xyz.reshape(-1, 3)[order]
+    ring = rings.reshape(-1)[order].astype(jnp.float32)
+    rel = seg.rel_time.reshape(-1)[order]
+    z = jnp.zeros_like
+    return FeatureCloud(
+        xyz=jnp.where(valid[:, None], xyz, 0.0),
+        ring=jnp.where(valid, ring, 0.0),
+        rel_time=jnp.where(valid, rel, 0.0),
+        valid=valid)
+
+
+@functools.partial(jax.jit, static_argnames="cfg")
+def extract_features(seg: SegmentedCloud, cfg: LegoLoamConfig) -> FeatureSet:
+    """Full feature extraction (``extractFeatures``,
+    ``featureAssociation.cpp:265-383``)."""
+    f = cfg.feature
+    V, S = seg.rng.shape
+    K = f.num_sectors
+
+    curv = compute_curvature(seg)
+    picked0 = occlusion_mask(seg, cfg)
+
+    sp, ep = _sector_bounds(seg.count, K)             # (V,K)
+    pos = jnp.arange(S)
+    sector = ((pos[None, None, :] >= sp[:, :, None])
+              & (pos[None, None, :] <= ep[:, :, None])
+              & (sp < ep)[:, :, None])                # (V,K,S)
+    base_ok = seg.valid[:, None, :] & sector
+
+    # --- corner picks: top-20 curvature, non-ground, curv > edge_threshold
+    corner_elig = (base_ok & ~seg.is_ground[:, None, :]
+                   & (curv > f.edge_threshold)[:, None, :])
+    corner_oh, picked = _greedy_pick(
+        curv, corner_elig, picked0, seg.col, f.less_sharp_per_sector,
+        maximize=True, cfg=cfg)
+    corner_any = jnp.any(corner_oh, axis=2)           # (rank, V, S)
+    sharp_mask = jnp.any(corner_any[:f.sharp_per_sector], axis=0)
+    less_sharp_mask = jnp.any(corner_any, axis=0)
+
+    # --- flat picks: 4 smallest-curvature ground points, curv < threshold
+    flat_elig = (base_ok & seg.is_ground[:, None, :]
+                 & (curv < f.surf_threshold)[:, None, :])
+    flat_oh, picked = _greedy_pick(
+        curv, flat_elig, picked, seg.col, f.flat_per_sector,
+        maximize=False, cfg=cfg)
+    flat_mask = jnp.any(jnp.any(flat_oh, axis=2), axis=0)
+
+    # --- less-flat: every in-sector point not labeled corner (:370-377)
+    in_any_sector = jnp.any(sector, axis=1) & seg.valid
+    less_flat_src = in_any_sector & ~less_sharp_mask
+
+    rings = jax.lax.broadcasted_iota(jnp.int32, (V, S), 0)
+
+    # per-ring 0.2 m voxel downsample of the less-flat scan (:379-382)
+    per_ring_cap = cfg.feature.max_less_flat // V
+
+    def ring_ds(xyz, payload, valid):
+        return voxel_downsample_with_payload(
+            xyz, payload, valid, f.surf_leaf_size, per_ring_cap)
+
+    payload = jnp.stack(
+        [rings.astype(jnp.float32), seg.rel_time], axis=-1)   # (V,S,2)
+    ds_xyz, ds_payload, ds_valid = jax.vmap(ring_ds)(
+        seg.xyz, payload, less_flat_src)
+    less_flat = FeatureCloud(
+        xyz=ds_xyz.reshape(-1, 3),
+        ring=ds_payload[..., 0].reshape(-1),
+        rel_time=ds_payload[..., 1].reshape(-1),
+        valid=ds_valid.reshape(-1))
+
+    return FeatureSet(
+        sharp=_gather_features(seg, sharp_mask, f.max_sharp, rings),
+        less_sharp=_gather_features(seg, less_sharp_mask, f.max_less_sharp,
+                                    rings),
+        flat=_gather_features(seg, flat_mask, f.max_flat, rings),
+        less_flat=less_flat)

@@ -1,0 +1,146 @@
+"""Stage 1a — range-image projection, ground extraction, 2D virtual scan.
+
+TPU-native reimplementation of the reference's ImageProjection steps 1-4
+(``imageProjection.cpp:153-346``): the per-point loop becomes one vectorized
+scatter-min; the column-major ground double loop becomes shifted-array
+algebra over the (V, H) image.
+
+Everything is fixed-shape: the unordered input cloud lives in a
+``(P, 3)`` array with a validity mask, the image set in ``(V, H)`` arrays.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import LegoLoamConfig
+from ..core.types import RangeImage, RawScan
+
+Array = jax.Array
+
+_INF = jnp.float32(jnp.inf)
+
+
+def _start_end_orientation(raw: RawScan):
+    """Scan start/end azimuth from the first/last valid raw point
+    (``findStartEndAngle``, ``imageProjection.cpp:234-249``)."""
+    P = raw.xyz.shape[0]
+    first = jnp.argmax(raw.valid)
+    last = P - 1 - jnp.argmax(raw.valid[::-1])
+    p0 = raw.xyz[first]
+    p1 = raw.xyz[last]
+    start = -jnp.arctan2(p0[1], p0[0])
+    end = -jnp.arctan2(p1[1], p1[0]) + 2.0 * jnp.pi
+    diff = end - start
+    end = jnp.where(diff > 3.0 * jnp.pi, end - 2.0 * jnp.pi,
+                    jnp.where(diff < jnp.pi, end + 2.0 * jnp.pi, end))
+    return start, end
+
+
+@functools.partial(jax.jit, static_argnames="cfg")
+def project_scan(raw: RawScan, cfg: LegoLoamConfig) -> RangeImage:
+    """Project an unordered sweep into the (V, H) range-image set.
+
+    Replaces ``projectPointCloud`` + ``groundRemoval``
+    (``imageProjection.cpp:178-346``).  Duplicate hits on a pixel resolve
+    deterministically to the closest point (min range, then min point id) —
+    the reference's last-write-wins is nondeterministic under reordering,
+    ours is not.
+    """
+    laser = cfg.laser
+    V, H = laser.image_size
+    xyz = raw.xyz
+    P = xyz.shape[0]
+
+    rng = jnp.linalg.norm(xyz, axis=-1)
+    vertical = jnp.arcsin(jnp.clip(xyz[:, 2] / jnp.maximum(rng, 1e-12),
+                                   -1.0, 1.0))
+    row = jnp.floor((vertical + laser.ang_bottom) / laser.ang_res_y
+                    ).astype(jnp.int32)
+    horizon = jnp.arctan2(xyz[:, 0], xyz[:, 1])
+    col = (-jnp.round((horizon - 0.5 * jnp.pi) / laser.ang_res_x)
+           ).astype(jnp.int32) + H // 2
+    col = jnp.where(col >= H, col - H, col)
+
+    ok = (raw.valid & (row >= 0) & (row < V) & (col >= 0) & (col < H)
+          & (rng >= laser.min_range) & jnp.isfinite(rng))
+    flat = jnp.where(ok, row * H + col, V * H)          # V*H ⇒ dropped
+
+    # pass 1: min range per pixel
+    rng_img = jnp.full((V * H,), _INF, jnp.float32).at[flat].min(
+        jnp.where(ok, rng, _INF), mode="drop")
+    # pass 2: winning point id (min id among range-ties)
+    is_winner = ok & (rng == rng_img[jnp.clip(flat, 0, V * H - 1)])
+    pid = jnp.where(is_winner, jnp.arange(P, dtype=jnp.int32), P)
+    pid_img = jnp.full((V * H,), P, jnp.int32).at[
+        jnp.where(is_winner, flat, V * H)].min(pid, mode="drop")
+
+    valid_img = pid_img < P
+    xyz_img = jnp.where(valid_img[:, None],
+                        xyz[jnp.clip(pid_img, 0, P - 1)], 0.0)
+
+    rng_img = rng_img.reshape(V, H)
+    valid_img = valid_img.reshape(V, H)
+    xyz_img = xyz_img.reshape(V, H, 3)
+
+    ground = _ground_mask(xyz_img, valid_img, cfg)
+    start, end = _start_end_orientation(raw)
+
+    return RangeImage(
+        rng=rng_img, xyz=xyz_img, valid=valid_img, ground=ground,
+        label=jnp.full((V, H), -1, jnp.int32),
+        start_orientation=start, end_orientation=end)
+
+
+def _ground_mask(xyz_img: Array, valid_img: Array,
+                 cfg: LegoLoamConfig) -> Array:
+    """Vertically-adjacent-pixel ground test (``groundRemoval``,
+    ``imageProjection.cpp:254-287``).
+
+    Keeps the reference's quirk of using the FULL 3-D norm (incl. dZ) in the
+    atan2 denominator (commented as a known bug at :278) — it is
+    load-bearing for which points count as ground.
+    """
+    laser = cfg.laser
+    proj = cfg.projection
+    V, H = laser.image_size
+    G = laser.ground_scan_index
+
+    lower = xyz_img[:G]                     # rows 0..G-1
+    upper = xyz_img[1:G + 1]                # rows 1..G
+    d = upper - lower
+    norm3 = jnp.linalg.norm(d, axis=-1)
+    angle = jnp.arctan2(d[..., 2], norm3)
+    mount = math.radians(laser.sensor_mount_angle_deg)
+    thresh = math.radians(proj.ground_angle_threshold_deg)
+    pair_ground = (valid_img[:G] & valid_img[1:G + 1]
+                   & ((angle - mount) <= thresh))
+
+    ground = jnp.zeros((V, H), bool)
+    ground = ground.at[:G].set(pair_ground)
+    ground = ground.at[1:G + 1].set(ground[1:G + 1] | pair_ground)
+    return ground
+
+
+@functools.partial(jax.jit, static_argnames="cfg")
+def virtual_scan_2d(img: RangeImage, cfg: LegoLoamConfig):
+    """Fork addition: per-column min-range non-ground point at chest height
+    (``imageProjection.cpp:311-330``) → the 2D occupancy-grid input.
+
+    Returns ``(xyz (H,3), valid (H,))``.
+    """
+    p = cfg.projection
+    z = img.xyz[..., 2]
+    ok = (img.valid & ~img.ground
+          & (z > p.virtual_scan_z_min) & (z < p.virtual_scan_z_max)
+          & (img.rng < p.virtual_scan_max_range))
+    r = jnp.where(ok, img.rng, _INF)
+    win = jnp.argmin(r, axis=0)                           # (H,)
+    any_ok = jnp.any(ok, axis=0)
+    H = z.shape[1]
+    xyz = img.xyz[win, jnp.arange(H)]
+    return jnp.where(any_ok[:, None], xyz, 0.0), any_ok

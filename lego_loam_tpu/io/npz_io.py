@@ -1,0 +1,68 @@
+"""Host-side scan containers: .npz sequence storage + RawScan packing.
+
+Replaces the reference's rosbag replay input path (``main.cpp:59-95``):
+sequences live as .npz archives of per-scan point arrays + ground truth,
+and are packed into fixed-capacity ``RawScan`` pytrees for the device.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..core.config import LegoLoamConfig
+from ..core.types import RawScan
+
+
+def pack_raw_scan(points: np.ndarray, stamp: float,
+                  capacity: int) -> RawScan:
+    """(P,3) float array (NaN/inf rows = invalid) → fixed-capacity RawScan."""
+    pts = np.asarray(points, np.float32)
+    finite = np.isfinite(pts).all(axis=-1)
+    n = min(pts.shape[0], capacity)
+    xyz = np.zeros((capacity, 3), np.float32)
+    valid = np.zeros((capacity,), bool)
+    xyz[:n] = np.nan_to_num(pts[:n], nan=0.0, posinf=0.0, neginf=0.0)
+    valid[:n] = finite[:n]
+    return RawScan(xyz=jnp.asarray(xyz), valid=jnp.asarray(valid),
+                   stamp=jnp.float32(stamp))
+
+
+def pack_sequence(scans: Sequence[np.ndarray], times: Sequence[float],
+                  cfg: LegoLoamConfig):
+    """Stack a whole sequence into batched device arrays (N, P, 3)/(N, P) —
+    the layout `lax.scan` replay consumes."""
+    cap = cfg.pipeline.max_points
+    xyz = np.zeros((len(scans), cap, 3), np.float32)
+    valid = np.zeros((len(scans), cap), bool)
+    for i, pts in enumerate(scans):
+        pts = np.asarray(pts, np.float32)
+        finite = np.isfinite(pts).all(axis=-1)
+        n = min(pts.shape[0], cap)
+        xyz[i, :n] = np.nan_to_num(pts[:n], nan=0.0, posinf=0.0, neginf=0.0)
+        valid[i, :n] = finite[:n]
+    return (jnp.asarray(xyz), jnp.asarray(valid),
+            jnp.asarray(np.asarray(times, np.float32)))
+
+
+def save_sequence(path: str, scans: Sequence[np.ndarray],
+                  gt_poses: Optional[np.ndarray], times: Sequence[float]):
+    data = {f"scan_{i:06d}": s for i, s in enumerate(scans)}
+    data["times"] = np.asarray(times, np.float32)
+    data["n_scans"] = np.int64(len(scans))
+    if gt_poses is not None:
+        data["gt_poses"] = np.asarray(gt_poses, np.float32)
+    np.savez_compressed(path, **data)
+
+
+def load_sequence(path: str):
+    with np.load(path) as z:
+        n = int(z["n_scans"])
+        scans = [z[f"scan_{i:06d}"] for i in range(n)]
+        times = z["times"]
+        gt = z["gt_poses"] if "gt_poses" in z else None
+    return scans, gt, times

@@ -1,0 +1,219 @@
+"""Synthetic VLP-16 world simulator — deterministic scans + ground truth.
+
+The reference is exercised against rosbags (Jackal / Stevens datasets,
+``README.md:95-109``) which are not available here; this module provides the
+equivalent deterministic replay input: a raycast simulator over a simple
+world (ground plane + walls + pillars) producing motion-distorted sweeps in
+firing order, with exact ground-truth poses for ATE evaluation.
+
+Pure NumPy — runs once on the host; scans are then fed to the device
+pipeline.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..core.config import LegoLoamConfig
+
+
+@dataclasses.dataclass
+class World:
+    """Ground plane at z=0 + axis-aligned boxes + vertical cylinders."""
+
+    boxes: np.ndarray       # (B, 6): xmin ymin zmin xmax ymax zmax
+    cylinders: np.ndarray   # (C, 4): cx cy radius height
+
+
+def default_world(seed: int = 0) -> World:
+    """A courtyard: perimeter walls, a few buildings, and pillars/trees."""
+    rng = np.random.default_rng(seed)
+    L = 40.0
+    walls = [
+        [-L, -L, 0.0, L, -L + 0.4, 4.0],
+        [-L, L - 0.4, 0.0, L, L, 4.0],
+        [-L, -L, 0.0, -L + 0.4, L, 4.0],
+        [L - 0.4, -L, 0.0, L, L, 4.0],
+    ]
+    buildings = []
+    for _ in range(6):
+        cx, cy = rng.uniform(-L + 12, L - 12, 2)
+        if abs(cx) < 8 and abs(cy) < 8:   # keep the trajectory area clear
+            cx += np.sign(cx or 1.0) * 12
+        w, d = rng.uniform(3, 7, 2)
+        h = rng.uniform(2.5, 5.0)
+        buildings.append([cx - w, cy - d, 0.0, cx + w, cy + d, h])
+    cylinders = []
+    for _ in range(25):
+        cx, cy = rng.uniform(-L + 4, L - 4, 2)
+        if abs(cx) < 6 and abs(cy) < 6:
+            cx += np.sign(cx or 1.0) * 8
+        cylinders.append([cx, cy, rng.uniform(0.1, 0.35), 4.0])
+    return World(boxes=np.array(walls + buildings, np.float64),
+                 cylinders=np.array(cylinders, np.float64))
+
+
+def circle_trajectory(n_scans: int, radius: float = 8.0,
+                      speed: float = 1.0, period: float = 0.1,
+                      height: float = 0.8):
+    """Ground-vehicle loop: constant-speed circle, yaw tangent to path.
+
+    Returns (poses (N,6) [r,p,y,x,y,z], times (N,)) sampled at scan starts.
+    A callable pose(t) is also returned for intra-scan interpolation.
+    """
+    omega = speed / radius
+
+    def pose_at(t):
+        t = np.asarray(t, np.float64)
+        ang = omega * t
+        x = radius * np.sin(ang)
+        y = radius * (1.0 - np.cos(ang))
+        yaw = ang
+        zeros = np.zeros_like(t)
+        return np.stack([zeros, zeros, yaw, x, y,
+                         np.full_like(t, height)], axis=-1)
+
+    times = np.arange(n_scans) * period
+    return pose_at(times), times, pose_at
+
+
+def _raycast(origins: np.ndarray, dirs: np.ndarray,
+             world: World, max_range: float = 100.0) -> np.ndarray:
+    """Nearest-hit distances for rays (…,3)+(…,3) against the world.
+
+    Returns t (…,) with +inf for misses.
+    """
+    o = origins.reshape(-1, 3)
+    d = dirs.reshape(-1, 3)
+    t_best = np.full(o.shape[0], np.inf)
+
+    # ground plane z = 0
+    dz = d[:, 2]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tg = -o[:, 2] / dz
+    hit = (dz < -1e-9) & (tg > 1e-6)
+    t_best = np.where(hit, np.minimum(t_best, tg), t_best)
+
+    # boxes (slab method)
+    for b in world.boxes:
+        lo, hi = b[:3], b[3:]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            inv = 1.0 / d
+            t1 = (lo - o) * inv
+            t2 = (hi - o) * inv
+        tmin = np.nanmax(np.minimum(t1, t2), axis=1)
+        tmax = np.nanmin(np.maximum(t1, t2), axis=1)
+        hit = (tmax >= tmin) & (tmax > 1e-6)
+        t_hit = np.where(tmin > 1e-6, tmin, tmax)
+        # reject hits above box top handled by slab z already
+        t_best = np.where(hit & (t_hit < t_best), t_hit, t_best)
+
+    # vertical cylinders with height
+    for c in world.cylinders:
+        cx, cy, r, h = c
+        ox, oy = o[:, 0] - cx, o[:, 1] - cy
+        a = d[:, 0] ** 2 + d[:, 1] ** 2
+        bq = 2.0 * (ox * d[:, 0] + oy * d[:, 1])
+        cq = ox ** 2 + oy ** 2 - r ** 2
+        disc = bq ** 2 - 4 * a * cq
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sq = np.sqrt(np.maximum(disc, 0.0))
+            t1 = (-bq - sq) / (2 * a)
+        z_hit = o[:, 2] + t1 * d[:, 2]
+        hit = (disc > 0) & (a > 1e-12) & (t1 > 1e-6) & (z_hit >= 0) \
+            & (z_hit <= h)
+        t_best = np.where(hit & (t1 < t_best), t1, t_best)
+
+    t_best = np.where(t_best > max_range, np.inf, t_best)
+    return t_best.reshape(origins.shape[:-1])
+
+
+def _rpy_matrix(rpy: np.ndarray) -> np.ndarray:
+    r, p, y = rpy[..., 0], rpy[..., 1], rpy[..., 2]
+    cr, sr, cp, sp, cy, sy = (np.cos(r), np.sin(r), np.cos(p), np.sin(p),
+                              np.cos(y), np.sin(y))
+    R = np.empty(rpy.shape[:-1] + (3, 3))
+    R[..., 0, 0] = cy * cp
+    R[..., 0, 1] = cy * sp * sr - sy * cr
+    R[..., 0, 2] = cy * sp * cr + sy * sr
+    R[..., 1, 0] = sy * cp
+    R[..., 1, 1] = sy * sp * sr + cy * cr
+    R[..., 1, 2] = sy * sp * cr - cy * sr
+    R[..., 2, 0] = -sp
+    R[..., 2, 1] = cp * sr
+    R[..., 2, 2] = cp * cr
+    return R
+
+
+def simulate_scan(pose_fn, t0: float, cfg: LegoLoamConfig, world: World,
+                  noise: float = 0.0, seed: int = 0,
+                  distortion: bool = True) -> np.ndarray:
+    """One motion-distorted sweep in firing order.
+
+    Columns fire sequentially over ``scan_period``; each column's 16 beams
+    share the interpolated sensor pose at its firing time.  Points are
+    returned in the sensor frame *at firing time* (exactly what a real
+    VLP-16 driver emits), shape (H*V, 3) with NaN rows for misses.
+    """
+    laser = cfg.laser
+    V, H = laser.image_size
+    k = np.arange(H)
+    t_fire = t0 + (laser.scan_period * k / H if distortion else 0.0 * k)
+    poses = pose_fn(t_fire)                                   # (H,6)
+    R = _rpy_matrix(poses[:, :3])                             # (H,3,3)
+    origin = poses[:, 3:]                                     # (H,3)
+
+    # beam directions in sensor frame: azimuth sweeps so that
+    # ori = -atan2(y, x) increases linearly (matches the reference's
+    # start/end-orientation convention, imageProjection.cpp:234-249)
+    # Beam angles are nudged off the exact projection-bin boundaries
+    # (real sensors never sit exactly on them; exact-boundary values make
+    # float32 vs float64 binning flicker).
+    ori0 = 0.37 * laser.ang_res_x
+    ori = ori0 + 2.0 * np.pi * k / H                          # (H,)
+    az = -ori                                                 # atan2(y,x)
+    v_ang = (np.radians(laser.vertical_angle_bottom_deg)
+             + (np.arange(V) + 0.23) * laser.ang_res_y)       # (V,)
+    cos_v = np.cos(v_ang)[None, :]                            # (1,V)
+    dirs_sensor = np.stack([
+        np.cos(az)[:, None] * cos_v,
+        np.sin(az)[:, None] * cos_v,
+        np.broadcast_to(np.sin(v_ang)[None, :], (H, V)),
+    ], axis=-1)                                               # (H,V,3)
+
+    dirs_world = np.einsum("hij,hvj->hvi", R, dirs_sensor)
+    origins = np.broadcast_to(origin[:, None, :], (H, V, 3))
+    t_hit = _raycast(origins, dirs_world, world)              # (H,V)
+
+    if noise > 0.0:
+        rng = np.random.default_rng(seed)
+        t_hit = t_hit + rng.normal(0.0, noise, t_hit.shape)
+
+    pts = dirs_sensor * t_hit[..., None]                      # sensor frame
+    pts = pts.reshape(H * V, 3)                               # firing order
+    return pts.astype(np.float32)
+
+
+def make_sequence(n_scans: int, cfg: Optional[LegoLoamConfig] = None,
+                  seed: int = 0, noise: float = 0.0,
+                  radius: float = 8.0, speed: float = 1.0,
+                  distortion: bool = True):
+    """Generate a full sequence.
+
+    Returns (scans: list[(P,3) float32 with NaNs], gt_poses (N,6), times).
+    """
+    from ..core.config import vlp16
+
+    cfg = cfg or vlp16()
+    world = default_world(seed)
+    gt, times, pose_fn = circle_trajectory(
+        n_scans, radius=radius, speed=speed, period=cfg.laser.scan_period)
+    scans = [
+        simulate_scan(pose_fn, t, cfg, world, noise=noise, seed=seed + i,
+                      distortion=distortion)
+        for i, t in enumerate(times)
+    ]
+    return scans, gt.astype(np.float32), times.astype(np.float32)

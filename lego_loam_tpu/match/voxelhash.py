@@ -1,0 +1,102 @@
+"""Voxel-grid downsampling as sort + segmented reduction.
+
+TPU-native replacement for every ``pcl::VoxelGrid`` use in the reference
+(``featureAssociation.cpp:101``, ``mapOptmization.cpp:71-84``): centroid of
+the points falling in each leaf.  Dynamic output sizes become a fixed
+``capacity`` with a validity mask.
+
+Collision-free: voxel coordinates are packed into two int32 keys and sorted
+lexicographically (no hash collisions to perturb results).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+_OFFSET = 1 << 15          # voxel coords shifted to non-negative
+_BITS = 1 << 16
+
+
+def _voxel_keys(xyz: Array, valid: Array, leaf: float):
+    q = jnp.floor(xyz / leaf).astype(jnp.int32) + _OFFSET
+    q = jnp.clip(q, 0, _BITS - 1)
+    k1 = q[..., 0]                                  # x
+    k2 = q[..., 1] * _BITS + q[..., 2]              # y,z packed
+    big = jnp.int32(2 ** 31 - 1)
+    k1 = jnp.where(valid, k1, big)
+    k2 = jnp.where(valid, k2, big)
+    return k1, k2
+
+
+@functools.partial(jax.jit, static_argnames=("leaf", "capacity"))
+def voxel_downsample(xyz: Array, valid: Array, leaf: float, capacity: int):
+    """Centroid voxel filter.
+
+    Args:
+      xyz: (N, 3) points.
+      valid: (N,) bool.
+      leaf: voxel edge length (metres).
+      capacity: fixed output size.
+
+    Returns:
+      (out_xyz (capacity,3), out_valid (capacity,)) — one centroid per
+      occupied voxel, in voxel-key order; padded with zeros.
+    """
+    N = xyz.shape[0]
+    k1, k2 = _voxel_keys(xyz, valid, leaf)
+    order = jnp.lexsort((k2, k1))
+    k1s, k2s = k1[order], k2[order]
+    xs = xyz[order]
+    vs = valid[order]
+
+    new_voxel = jnp.concatenate([
+        jnp.ones((1,), bool),
+        (k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])])
+    new_voxel = new_voxel & vs
+    seg = jnp.cumsum(new_voxel.astype(jnp.int32)) - 1      # voxel ordinal
+    seg = jnp.where(vs, seg, capacity)                     # drop invalid
+
+    w = vs.astype(xyz.dtype)
+    sums = jax.ops.segment_sum(xs * w[:, None], seg,
+                               num_segments=capacity + 1)[:capacity]
+    cnts = jax.ops.segment_sum(w, seg, num_segments=capacity + 1)[:capacity]
+    n_vox = jnp.sum(new_voxel)
+    out_valid = jnp.arange(capacity) < jnp.minimum(n_vox, capacity)
+    out_xyz = jnp.where(out_valid[:, None],
+                        sums / jnp.maximum(cnts, 1.0)[:, None], 0.0)
+    return out_xyz, out_valid
+
+
+@functools.partial(jax.jit, static_argnames=("leaf", "capacity"))
+def voxel_downsample_with_payload(xyz: Array, payload: Array, valid: Array,
+                                  leaf: float, capacity: int):
+    """Same as :func:`voxel_downsample` but also averages a per-point payload
+    array (…, D) over each voxel (used for ring / rel-time channels)."""
+    N = xyz.shape[0]
+    k1, k2 = _voxel_keys(xyz, valid, leaf)
+    order = jnp.lexsort((k2, k1))
+    k1s, k2s = k1[order], k2[order]
+    xs, ps, vs = xyz[order], payload[order], valid[order]
+
+    new_voxel = jnp.concatenate([
+        jnp.ones((1,), bool),
+        (k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])])
+    new_voxel = new_voxel & vs
+    seg = jnp.cumsum(new_voxel.astype(jnp.int32)) - 1
+    seg = jnp.where(vs, seg, capacity)
+
+    w = vs.astype(xyz.dtype)
+    cat = jnp.concatenate([xs, ps], axis=-1)
+    sums = jax.ops.segment_sum(cat * w[:, None], seg,
+                               num_segments=capacity + 1)[:capacity]
+    cnts = jax.ops.segment_sum(w, seg, num_segments=capacity + 1)[:capacity]
+    n_vox = jnp.sum(new_voxel)
+    out_valid = jnp.arange(capacity) < jnp.minimum(n_vox, capacity)
+    mean = jnp.where(out_valid[:, None],
+                     sums / jnp.maximum(cnts, 1.0)[:, None], 0.0)
+    return mean[:, :3], mean[:, 3:], out_valid

@@ -1,0 +1,34 @@
+"""Test harness: force an 8-virtual-device CPU platform so sharding tests
+run without TPU hardware (SURVEY.md §4)."""
+
+import os
+
+# The container's sitecustomize pre-imports jax with the axon TPU backend
+# (JAX_PLATFORMS=axon); plain env vars are too late here.  Force CPU via
+# jax.config BEFORE any backend is touched, and fan out 8 virtual devices.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def cfg():
+    from lego_loam_tpu.core.config import vlp16
+    return vlp16()
+
+
+@pytest.fixture(scope="session")
+def small_sequence(cfg):
+    """A short synthetic sequence shared across tests."""
+    from lego_loam_tpu.io.synthetic import make_sequence
+    scans, gt, times = make_sequence(12, cfg, seed=3, noise=0.0)
+    return scans, gt, times

@@ -1,0 +1,85 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lego_loam_tpu.core.config import vlp16
+from lego_loam_tpu.frontend.features import extract_features
+from lego_loam_tpu.frontend.segmentation import image_projection
+from lego_loam_tpu.io.npz_io import pack_raw_scan
+from lego_loam_tpu.match.voxelhash import voxel_downsample
+
+CFG = vlp16()
+
+
+def test_voxel_downsample_oracle():
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-3, 3, (500, 3)).astype(np.float32)
+    valid = np.ones(500, bool)
+    valid[450:] = False
+    leaf = 0.5
+    out_xyz, out_valid = voxel_downsample(
+        jnp.asarray(pts), jnp.asarray(valid), leaf, 1024)
+    out_xyz = np.asarray(out_xyz)[np.asarray(out_valid)]
+
+    # oracle: centroid per occupied voxel
+    keys = np.floor(pts[:450] / leaf).astype(np.int64)
+    uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+    cents = np.zeros((len(uniq), 3))
+    for i in range(len(uniq)):
+        cents[i] = pts[:450][inv == i].mean(axis=0)
+    assert out_xyz.shape[0] == len(uniq)
+    # match as sets
+    order_a = np.lexsort(out_xyz.T)
+    order_b = np.lexsort(cents.T)
+    np.testing.assert_allclose(out_xyz[order_a], cents[order_b], atol=1e-4)
+
+
+def test_voxel_downsample_capacity_clip():
+    pts = np.arange(30, dtype=np.float32).reshape(10, 3) * 10.0
+    out_xyz, out_valid = voxel_downsample(
+        jnp.asarray(pts), jnp.ones(10, bool), 0.1, 4)
+    assert int(np.asarray(out_valid).sum()) == 4
+
+
+@pytest.fixture(scope="module")
+def proj_out(small_sequence):
+    scans, gt, times = small_sequence
+    raw = pack_raw_scan(scans[0], 0.0, CFG.pipeline.max_points)
+    return image_projection(raw, CFG)
+
+
+def test_extract_features_counts(proj_out):
+    fs = extract_features(proj_out.segmented, CFG)
+    f = CFG.feature
+    n_sharp = int(np.asarray(fs.sharp.valid).sum())
+    n_less_sharp = int(np.asarray(fs.less_sharp.valid).sum())
+    n_flat = int(np.asarray(fs.flat.valid).sum())
+    n_less_flat = int(np.asarray(fs.less_flat.valid).sum())
+    V = CFG.laser.num_vertical_scans
+    assert 0 < n_sharp <= f.sharp_per_sector * f.num_sectors * V
+    assert n_sharp <= n_less_sharp
+    assert 0 < n_flat <= f.flat_per_sector * f.num_sectors * V
+    assert n_less_flat > n_flat
+    # flat features are ground points near plane z=-0.8
+    flat_xyz = np.asarray(fs.flat.xyz)[np.asarray(fs.flat.valid)]
+    assert np.percentile(np.abs(flat_xyz[:, 2] + 0.8), 80) < 0.3
+    # sharp features are not ground
+    sharp_xyz = np.asarray(fs.sharp.xyz)[np.asarray(fs.sharp.valid)]
+    assert (sharp_xyz[:, 2] > -0.5).mean() > 0.9
+
+
+def test_feature_curvature_ordering(proj_out):
+    """Sharp features must have high curvature, flat low, per ring/sector."""
+    from lego_loam_tpu.frontend.features import compute_curvature
+    seg = proj_out.segmented
+    curv = np.asarray(compute_curvature(seg))
+    fs = extract_features(seg, CFG)
+    # locate each sharp feature in the segmented cloud and check threshold
+    seg_xyz = np.asarray(seg.xyz).reshape(-1, 3)
+    c_flat = curv.reshape(-1)
+    sharp_xyz = np.asarray(fs.sharp.xyz)[np.asarray(fs.sharp.valid)]
+    for p in sharp_xyz[:20]:
+        d = np.linalg.norm(seg_xyz - p, axis=1)
+        j = int(np.argmin(d))
+        assert d[j] < 1e-5
+        assert c_flat[j] > CFG.feature.edge_threshold
