@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Benchmark harness — full-pipeline replay throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline target (BASELINE.md): ≥100 scans/s per chip (≥10× real-time for a
+VLP-16 at 10 Hz).  vs_baseline = value / 100.
+
+Also reports (to stderr) the trajectory ATE against the simulator ground
+truth, so a throughput win can't silently come from a broken pipeline.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    n_scans = int(os.environ.get("BENCH_SCANS", "200"))
+
+    import jax
+    import jax.numpy as jnp
+
+    from lego_loam_tpu.core import se3
+    from lego_loam_tpu.core.config import vlp16
+    from lego_loam_tpu.eval.metrics import ate
+    from lego_loam_tpu.io.npz_io import pack_sequence
+    from lego_loam_tpu.io.synthetic import make_sequence
+    from lego_loam_tpu.pipeline.slam import replay
+
+    cfg = vlp16()
+    log(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_cache.npz")
+    if os.path.exists(cache):
+        with np.load(cache) as z:
+            if int(z["n"]) == n_scans:
+                scans = [z[f"s{i}"] for i in range(n_scans)]
+                gt, times = z["gt"], z["times"]
+            else:
+                scans = None
+    else:
+        scans = None
+    if scans is None:
+        log(f"generating {n_scans} synthetic scans…")
+        scans, gt, times = make_sequence(n_scans, cfg, seed=42, noise=0.01,
+                                         speed=1.2)
+        np.savez(cache, n=n_scans, gt=gt, times=times,
+                 **{f"s{i}": s for i, s in enumerate(scans)})
+
+    xyz, valid, t = pack_sequence(scans, times, cfg)
+    xyz, valid, t = jax.device_put((xyz, valid, t))
+
+    log("compiling replay…")
+    t0 = time.time()
+    final_state, outs = replay(xyz, valid, t, cfg)
+    jax.block_until_ready(outs)
+    log(f"compile+first run: {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    final_state, outs = replay(xyz, valid, t, cfg)
+    jax.block_until_ready(outs)
+    dt = time.time() - t0
+    scans_per_sec = n_scans / dt
+
+    fused = np.asarray(outs["fused"])
+    gt_j = jnp.asarray(gt)
+    gt_rel = np.asarray(jax.vmap(lambda g: se3.relative(gt_j[0], g))(gt_j))
+    m = ate(fused[:-1], gt_rel[1:len(fused)], align=False)
+    log(f"ATE (m): {m}")
+    log(f"throughput: {scans_per_sec:.1f} scans/s "
+        f"({dt * 1000 / n_scans:.1f} ms/scan)")
+
+    print(json.dumps({
+        "metric": "scans_per_sec_per_chip_full_pipeline",
+        "value": round(scans_per_sec, 2),
+        "unit": "scans/s",
+        "vs_baseline": round(scans_per_sec / 100.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

@@ -94,7 +94,23 @@ class FeatureConfig:
     delta_t_converged_cm: float = 0.1          # :917
     min_corner_features: int = 10              # :1214
     min_surf_features: int = 100               # :1214
+    min_selected: int = 10                     # :1222,:1229 (laserCloudOri)
     ring_window: float = 2.5                   # ±2.5 rings (:556,:678)
+    # GN step controls.  The reference couples an inconsistent Jacobian
+    # (full-pose partials vs interpolated residual) with a 0.05 step scale
+    # (featureAssociation.cpp:857); we differentiate the exact deskew chain
+    # (jacfwd), so a full step with mild LM damping is correct.
+    odom_step_scale: float = 1.0
+    odom_lm_lambda: float = 1.0e-3
+    # Cross-frame under-relaxation of the sweep-motion estimate.  Matching
+    # a sweep against the previous sweep's stored cloud (deskewed with the
+    # previous motion estimate) has a frame-to-frame error gain of ≈ −1
+    # (the stored cloud's residual smear −(1−s)ε reflects into the next
+    # solve); blending θ ← θ̂ + β(θ* − θ̂) with β = 0.5 makes that loop
+    # deadbeat (ε_k = (1−2β)ε_{k−1}) at the cost of a ~2-frame lag in
+    # responding to true accelerations.  The reference damps the same loop
+    # implicitly by never fully converging its LM (0.05 step × 25 iters).
+    odom_relax: float = 0.5
     # fixed capacities for masked arrays
     max_sharp: int = 256                       # 2*6*16=192 rounded up
     max_less_sharp: int = 2048                 # 20*6*16=1920 rounded up

@@ -87,15 +87,18 @@ def matrix_to_pose(T: Array) -> Array:
 
 
 def apply(p: Array, pts: Array) -> Array:
-    """Transform points (…,3) by pose (6,): ``R x + t``."""
+    """Transform points (…,3) by pose (…,6): ``R x + t``.
+
+    Batch dims of pose and points broadcast (per-point poses supported —
+    the de-skew path uses one interpolated pose per point)."""
     R = rpy_to_matrix(p[..., :3])
-    return pts @ R.T + p[..., 3:]
+    return jnp.einsum("...ij,...j->...i", R, pts) + p[..., 3:]
 
 
 def apply_inverse(p: Array, pts: Array) -> Array:
     """``Rᵀ (x − t)``."""
     R = rpy_to_matrix(p[..., :3])
-    return (pts - p[..., 3:]) @ R
+    return jnp.einsum("...ji,...j->...i", R, pts - p[..., 3:])
 
 
 def compose(a: Array, b: Array) -> Array:

@@ -1,0 +1,150 @@
+"""Keyframe store — fixed-capacity sharded-ready ring arrays.
+
+Replaces the reference's dynamically grown keyframe structures
+(``cloudKeyPoses3D/6D``, ``cornerCloudKeyFrames`` etc.,
+``mapOptmization.cpp:1431-1474``) with preallocated (K, …) arrays + a
+count, the layout both `lax.scan` replay and multi-device sharding need
+(keyframes shard over the leading axis, SURVEY.md §5 long-context row).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..core import se3
+from ..core.config import LegoLoamConfig
+from ..match.voxelhash import voxel_downsample
+from ..solve.scan2map import MapCloud
+
+Array = jax.Array
+
+# per-keyframe cloud capacities (post voxel-downsample)
+CORNER_CAP = 1024
+SURF_CAP = 2048
+OUTLIER_CAP = 512
+SCAN2D_CAP = 512
+
+
+@struct.dataclass
+class KeyframeStore:
+    pose: Array          # (K, 6) map-frame keyframe poses
+    stamp: Array         # (K,)
+    count: Array         # ()  int32
+    corner: Array        # (K, CORNER_CAP, 3)  sensor frame
+    corner_valid: Array  # (K, CORNER_CAP)
+    surf: Array          # (K, SURF_CAP, 3)    (surf + outlier merged)
+    surf_valid: Array    # (K, SURF_CAP)
+    outlier: Array       # (K, OUTLIER_CAP, 3)
+    outlier_valid: Array
+    scan2d: Array        # (K, SCAN2D_CAP, 3)  sensor frame (z≈chest)
+    scan2d_valid: Array
+
+    @property
+    def capacity(self) -> int:
+        return self.pose.shape[0]
+
+
+def empty_store(cfg: LegoLoamConfig) -> KeyframeStore:
+    K = cfg.mapping.max_keyframes
+    z = jnp.zeros
+    return KeyframeStore(
+        pose=z((K, 6), jnp.float32), stamp=z((K,), jnp.float32),
+        count=jnp.int32(0),
+        corner=z((K, CORNER_CAP, 3), jnp.float32),
+        corner_valid=z((K, CORNER_CAP), bool),
+        surf=z((K, SURF_CAP, 3), jnp.float32),
+        surf_valid=z((K, SURF_CAP), bool),
+        outlier=z((K, OUTLIER_CAP, 3), jnp.float32),
+        outlier_valid=z((K, OUTLIER_CAP), bool),
+        scan2d=z((K, SCAN2D_CAP, 3), jnp.float32),
+        scan2d_valid=z((K, SCAN2D_CAP), bool))
+
+
+def insert_keyframe(store: KeyframeStore, pose: Array, stamp: Array,
+                    corner: Array, corner_valid: Array,
+                    surf: Array, surf_valid: Array,
+                    outlier: Array, outlier_valid: Array,
+                    scan2d: Array, scan2d_valid: Array) -> KeyframeStore:
+    """Append at position ``count`` (no-op when full)."""
+    i = jnp.minimum(store.count, store.capacity - 1)
+    full = store.count >= store.capacity
+    sel = lambda new, old: jax.lax.cond(full, lambda: old, lambda: new)
+    return store.replace(
+        pose=sel(store.pose.at[i].set(pose), store.pose),
+        stamp=sel(store.stamp.at[i].set(stamp), store.stamp),
+        corner=sel(store.corner.at[i].set(corner), store.corner),
+        corner_valid=sel(store.corner_valid.at[i].set(corner_valid),
+                         store.corner_valid),
+        surf=sel(store.surf.at[i].set(surf), store.surf),
+        surf_valid=sel(store.surf_valid.at[i].set(surf_valid),
+                       store.surf_valid),
+        outlier=sel(store.outlier.at[i].set(outlier), store.outlier),
+        outlier_valid=sel(store.outlier_valid.at[i].set(outlier_valid),
+                          store.outlier_valid),
+        scan2d=sel(store.scan2d.at[i].set(scan2d), store.scan2d),
+        scan2d_valid=sel(store.scan2d_valid.at[i].set(scan2d_valid),
+                         store.scan2d_valid),
+        count=sel(store.count + 1, store.count))
+
+
+def _transform_block(pose: Array, pts: Array, valid: Array):
+    """Transform one keyframe's cloud block to world, masking invalid."""
+    w = se3.apply(pose, pts)
+    return jnp.where(valid[:, None], w, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "window"))
+def assemble_submap(store: KeyframeStore, cur_pose: Array,
+                    cfg: LegoLoamConfig, window: int = 50):
+    """Build the local corner/surf maps around the current pose.
+
+    Merges the reference's two modes (``extractSurroundingKeyFrames``,
+    ``mapOptmization.cpp:857-996``): the ``window`` nearest keyframes by
+    keypose distance, gated by ``surrounding_keyframe_search_radius`` —
+    equivalent to the latest-50 deque when driving forward and to the
+    50 m radius search when revisiting.  Clouds are transformed to world,
+    concatenated, and voxel-downsampled to fixed capacities (corner 0.2 m,
+    surf(+outlier) 0.4 m, :988-995).
+
+    Returns (corner_map: MapCloud, surf_map: MapCloud).
+    """
+    m = cfg.mapping
+    K = store.capacity
+    alive = jnp.arange(K) < store.count
+    d = jnp.linalg.norm(store.pose[:, 3:] - cur_pose[3:], axis=-1)
+    d = jnp.where(alive, d, jnp.inf)
+    in_radius = d <= m.surrounding_keyframe_search_radius
+    neg_top, sel_idx = jax.lax.top_k(-jnp.where(in_radius, d, jnp.inf),
+                                     window)
+    sel_ok = jnp.isfinite(-neg_top)                      # (window,)
+
+    sel_pose = store.pose[sel_idx]
+    corner_w = jax.vmap(_transform_block)(
+        sel_pose, store.corner[sel_idx],
+        store.corner_valid[sel_idx] & sel_ok[:, None])
+    corner_valid = store.corner_valid[sel_idx] & sel_ok[:, None]
+    surf_w = jax.vmap(_transform_block)(
+        sel_pose, store.surf[sel_idx],
+        store.surf_valid[sel_idx] & sel_ok[:, None])
+    surf_valid = store.surf_valid[sel_idx] & sel_ok[:, None]
+    out_w = jax.vmap(_transform_block)(
+        sel_pose, store.outlier[sel_idx],
+        store.outlier_valid[sel_idx] & sel_ok[:, None])
+    out_valid = store.outlier_valid[sel_idx] & sel_ok[:, None]
+
+    corner_xyz, corner_ok = voxel_downsample(
+        corner_w.reshape(-1, 3), corner_valid.reshape(-1),
+        m.corner_leaf_size, m.max_map_corner)
+    surf_all = jnp.concatenate(
+        [surf_w.reshape(-1, 3), out_w.reshape(-1, 3)], axis=0)
+    surf_all_valid = jnp.concatenate(
+        [surf_valid.reshape(-1), out_valid.reshape(-1)], axis=0)
+    surf_xyz, surf_ok = voxel_downsample(
+        surf_all, surf_all_valid, m.surf_leaf_size, m.max_map_surf)
+
+    return (MapCloud(xyz=corner_xyz, valid=corner_ok),
+            MapCloud(xyz=surf_xyz, valid=surf_ok))

@@ -1,0 +1,96 @@
+"""Full-pipeline orchestration — the deterministic replay driver.
+
+Replaces the reference's driver + channels + threads (``main.cpp:37-102``,
+``channel.h``): the whole 4-stage pipeline becomes one pure per-scan step
+function over a single ``SlamState`` pytree, so offline replay is a
+``lax.scan`` (bit-deterministic by construction — the property the BOR
+fork rebuilt its threading for) and batched/multi-device replay is a
+``vmap``/``shard_map`` over independent sequences.
+
+Cadence: odometry every scan; mapping every ``mapping_frequency_divider``
+scans (``featureAssociation.cpp:1432-1448``); the fused 10 Hz output pose
+(stage 4) is emitted every scan.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..core import se3
+from ..core.config import LegoLoamConfig
+from ..core.types import RawScan
+from ..frontend.segmentation import image_projection
+from . import mapping as mapping_mod
+from . import odometry as odometry_mod
+
+Array = jax.Array
+
+
+@struct.dataclass
+class SlamState:
+    odo: odometry_mod.OdometryState
+    mapping: mapping_mod.MappingState
+    scan_index: Array        # () int32
+
+
+def init_state(cfg: LegoLoamConfig) -> SlamState:
+    return SlamState(
+        odo=odometry_mod.init_state(cfg),
+        mapping=mapping_mod.init_state(cfg),
+        scan_index=jnp.int32(0))
+
+
+@functools.partial(jax.jit, static_argnames="cfg")
+def slam_step(state: SlamState, raw: RawScan, cfg: LegoLoamConfig):
+    """Process one scan through the full pipeline.
+
+    Returns (new_state, outputs) where outputs carries:
+      odom  — integrated scan-to-scan odometry pose (10 Hz),
+      fused — drift-corrected pose (stage-4 output, 10 Hz),
+      mapped — latest mapping pose (updates at 2 Hz).
+    """
+    proj = image_projection(raw, cfg)
+    odo_state, assoc = odometry_mod.odometry_step(state.odo, proj, cfg)
+
+    divider = cfg.mapping.mapping_frequency_divider
+    run_mapping = ((state.scan_index % divider) == (divider - 1)) \
+        & (not cfg.pipeline.odometry_only)
+
+    map_state, mapped = jax.lax.cond(
+        run_mapping,
+        lambda ms: mapping_mod.mapping_step(ms, assoc, cfg),
+        lambda ms: (ms, ms.aft_mapped),
+        state.mapping)
+
+    fused = mapping_mod.fuse_pose(map_state, assoc.odom)
+
+    new_state = SlamState(odo=odo_state, mapping=map_state,
+                          scan_index=state.scan_index + 1)
+    outputs = {
+        "odom": assoc.odom,
+        "fused": fused,
+        "mapped": mapped,
+    }
+    return new_state, outputs
+
+
+@functools.partial(jax.jit, static_argnames="cfg")
+def replay(xyz: Array, valid: Array, times: Array, cfg: LegoLoamConfig):
+    """Offline whole-sequence replay as one compiled ``lax.scan``.
+
+    Args: batched scans (N, P, 3) / (N, P) / (N,) from
+    ``io.npz_io.pack_sequence``.
+
+    Returns (final_state, outputs dict of (N, 6) pose arrays).
+    """
+    def step(state, inp):
+        x, v, t = inp
+        raw = RawScan(xyz=x, valid=v, stamp=t)
+        return slam_step(state, raw, cfg)
+
+    return jax.lax.scan(step, init_state(cfg), (xyz, valid, times))
