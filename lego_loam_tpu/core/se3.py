@@ -163,15 +163,21 @@ def so3_exp(w: Array) -> Array:
 
 
 def so3_log(R: Array) -> Array:
-    """Inverse of :func:`so3_exp` for θ < π."""
-    cos_t = jnp.clip((jnp.trace(R, axis1=-2, axis2=-1) - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
+    """Inverse of :func:`so3_exp` for θ < π.
+
+    Written in atan2 form with an ε-regularised norm so that ``jacfwd``
+    through it stays finite at R = I — the arccos form has an infinite
+    derivative exactly where zero-residual pose-graph factors sit.
+    """
     w_hat = jnp.stack([
         R[..., 2, 1] - R[..., 1, 2],
         R[..., 0, 2] - R[..., 2, 0],
         R[..., 1, 0] - R[..., 0, 1],
-    ], -1)
-    small = theta < 1e-6
+    ], -1)                                       # = 2 sinθ · axis
+    s2 = jnp.sqrt(jnp.sum(w_hat * w_hat, -1) + 1e-24)   # 2 sinθ
+    c2 = jnp.trace(R, axis1=-2, axis2=-1) - 1.0         # 2 cosθ
+    theta = jnp.arctan2(s2, c2)
+    small = s2 < 1e-6
     scale = jnp.where(small, 0.5 + theta * theta / 12.0,
-                      theta / (2.0 * jnp.sin(jnp.where(small, 1.0, theta))))
+                      theta / jnp.where(small, 1.0, s2))
     return scale[..., None] * w_hat

@@ -22,37 +22,48 @@ from ..core.config import LegoLoamConfig
 
 @dataclasses.dataclass
 class World:
-    """Ground plane at z=0 + axis-aligned boxes + vertical cylinders."""
+    """Ground plane at z=0 + yaw-rotated boxes + vertical cylinders.
 
-    boxes: np.ndarray       # (B, 6): xmin ymin zmin xmax ymax zmax
+    Box rows: [cx, cy, half_w, half_d, height, yaw]."""
+
+    boxes: np.ndarray       # (B, 6): cx cy hw hd h yaw
     cylinders: np.ndarray   # (C, 4): cx cy radius height
 
 
 def default_world(seed: int = 0) -> World:
-    """A courtyard: perimeter walls, a few buildings, and pillars/trees."""
+    """A campus block: perimeter walls, buildings at mixed orientations,
+    street furniture, and poles/trees.  Density matters — sparse worlds
+    make pole-surface 'corners' dominate, whose viewpoint parallax biases
+    scan-to-scan odometry in a way real urban scans (hundreds of true
+    building edges) do not."""
     rng = np.random.default_rng(seed)
     L = 40.0
-    walls = [
-        [-L, -L, 0.0, L, -L + 0.4, 4.0],
-        [-L, L - 0.4, 0.0, L, L, 4.0],
-        [-L, -L, 0.0, -L + 0.4, L, 4.0],
-        [L - 0.4, -L, 0.0, L, L, 4.0],
+    boxes = [
+        # perimeter walls
+        [0.0, -L, L, 0.2, 4.0, 0.0],
+        [0.0, L, L, 0.2, 4.0, 0.0],
+        [-L, 0.0, 0.2, L, 4.0, 0.0],
+        [L, 0.0, 0.2, L, 4.0, 0.0],
     ]
-    buildings = []
-    for _ in range(6):
-        cx, cy = rng.uniform(-L + 12, L - 12, 2)
-        if abs(cx) < 8 and abs(cy) < 8:   # keep the trajectory area clear
-            cx += np.sign(cx or 1.0) * 12
-        w, d = rng.uniform(3, 7, 2)
-        h = rng.uniform(2.5, 5.0)
-        buildings.append([cx - w, cy - d, 0.0, cx + w, cy + d, h])
+    for _ in range(10):                       # buildings
+        cx, cy = rng.uniform(-L + 10, L - 10, 2)
+        if abs(cx) < 9 and abs(cy) < 9:       # keep trajectory area clear
+            cx += np.sign(cx or 1.0) * 13
+        boxes.append([cx, cy, rng.uniform(2.5, 6), rng.uniform(2.5, 6),
+                      rng.uniform(2.5, 5.0), rng.uniform(0, np.pi)])
+    for _ in range(18):                       # kiosks/planters/benches
+        cx, cy = rng.uniform(-L + 5, L - 5, 2)
+        if abs(cx) < 7 and abs(cy) < 7:
+            cx += np.sign(cx or 1.0) * 9
+        boxes.append([cx, cy, rng.uniform(0.4, 1.2), rng.uniform(0.4, 1.2),
+                      rng.uniform(0.8, 2.0), rng.uniform(0, np.pi)])
     cylinders = []
-    for _ in range(25):
+    for _ in range(40):                       # poles / tree trunks
         cx, cy = rng.uniform(-L + 4, L - 4, 2)
         if abs(cx) < 6 and abs(cy) < 6:
             cx += np.sign(cx or 1.0) * 8
-        cylinders.append([cx, cy, rng.uniform(0.1, 0.35), 4.0])
-    return World(boxes=np.array(walls + buildings, np.float64),
+        cylinders.append([cx, cy, rng.uniform(0.04, 0.15), 4.0])
+    return World(boxes=np.array(boxes, np.float64),
                  cylinders=np.array(cylinders, np.float64))
 
 
@@ -97,18 +108,27 @@ def _raycast(origins: np.ndarray, dirs: np.ndarray,
     hit = (dz < -1e-9) & (tg > 1e-6)
     t_best = np.where(hit, np.minimum(t_best, tg), t_best)
 
-    # boxes (slab method)
+    # yaw-rotated boxes: slab method in the box frame
     for b in world.boxes:
-        lo, hi = b[:3], b[3:]
+        cx, cy, hw, hd, h, yaw = b
+        c, s = np.cos(yaw), np.sin(yaw)
+        # rotate into the box frame (z unchanged)
+        ox = c * (o[:, 0] - cx) + s * (o[:, 1] - cy)
+        oy = -s * (o[:, 0] - cx) + c * (o[:, 1] - cy)
+        dx = c * d[:, 0] + s * d[:, 1]
+        dy = -s * d[:, 0] + c * d[:, 1]
+        ob = np.stack([ox, oy, o[:, 2]], 1)
+        db = np.stack([dx, dy, d[:, 2]], 1)
+        lo = np.array([-hw, -hd, 0.0])
+        hi = np.array([hw, hd, h])
         with np.errstate(divide="ignore", invalid="ignore"):
-            inv = 1.0 / d
-            t1 = (lo - o) * inv
-            t2 = (hi - o) * inv
+            inv = 1.0 / db
+            t1 = (lo - ob) * inv
+            t2 = (hi - ob) * inv
         tmin = np.nanmax(np.minimum(t1, t2), axis=1)
         tmax = np.nanmin(np.maximum(t1, t2), axis=1)
         hit = (tmax >= tmin) & (tmax > 1e-6)
         t_hit = np.where(tmin > 1e-6, tmin, tmax)
-        # reject hits above box top handled by slab z already
         t_best = np.where(hit & (t_hit < t_best), t_hit, t_best)
 
     # vertical cylinders with height

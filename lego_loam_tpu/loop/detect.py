@@ -1,0 +1,124 @@
+"""Loop-closure detection + verification.
+
+Reimplements ``detectLoopClosure`` (``mapOptmization.cpp:696-764``) and the
+geometric half of ``performLoopClosure`` (:767-854): candidate = nearest
+keypose within ``history_keyframe_search_radius`` (7 m) that is at least
+30 s older; target submap = candidate ±25 keyframes (0.4 m downsampled);
+source = the latest keyframe's corner+surf cloud; verification = ICP with
+``fitness < history_keyframe_fitness_score`` (0.3).
+
+Returns everything the pose-graph needs to add the loop factor:
+(found, old index, measurement z = corrected_latest⁻¹ ∘ old, fitness).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..core import se3
+from ..core.config import LegoLoamConfig
+from ..graph.keyframes import KeyframeStore
+from ..match.voxelhash import voxel_downsample
+from .icp import icp_align
+
+Array = jax.Array
+
+HISTORY_CAP = 32768     # downsampled candidate-submap capacity
+SOURCE_CAP = 4096       # latest-keyframe cloud capacity
+
+
+def find_candidate(store: KeyframeStore, cur_pose: Array,
+                   cur_stamp: Array, cfg: LegoLoamConfig):
+    """Nearest sufficiently-old keypose within the search radius.
+
+    Returns (found (bool), index (int32))."""
+    m = cfg.mapping
+    K = store.capacity
+    alive = jnp.arange(K) < store.count
+    d = jnp.linalg.norm(store.pose[:, 3:] - cur_pose[3:], axis=-1)
+    old_enough = (cur_stamp - store.stamp) > m.loop_closure_time_gap
+    elig = alive & old_enough & (d < m.history_keyframe_search_radius)
+    idx = jnp.argmin(jnp.where(elig, d, jnp.inf)).astype(jnp.int32)
+    return jnp.any(elig), idx
+
+
+def _gather_history(store: KeyframeStore, center: Array,
+                    cfg: LegoLoamConfig):
+    """World-frame submap from keyframes center±history_keyframe_search_num
+    (``detectLoopClosure``, :727-753), 0.4 m downsampled."""
+    m = cfg.mapping
+    half = m.history_keyframe_search_num
+    ks = jnp.arange(2 * half + 1) - half + center
+    ok = (ks >= 0) & (ks < store.count)
+    ks = jnp.clip(ks, 0, store.capacity - 1)
+
+    def one(k, k_ok):
+        pose = store.pose[k]
+        pts = jnp.concatenate([store.corner[k], store.surf[k]], axis=0)
+        valid = jnp.concatenate([store.corner_valid[k],
+                                 store.surf_valid[k]], axis=0) & k_ok
+        return jnp.where(valid[:, None], se3.apply(pose, pts), 0.0), valid
+
+    pts, valid = jax.vmap(one)(ks, ok)
+    return voxel_downsample(pts.reshape(-1, 3), valid.reshape(-1),
+                            m.outlier_leaf_size, HISTORY_CAP)
+
+
+def _gather_latest(store: KeyframeStore, idx: Array):
+    """Latest keyframe's corner+surf cloud in world frame (:729-738)."""
+    pose = store.pose[idx]
+    pts = jnp.concatenate([store.corner[idx], store.surf[idx]], axis=0)
+    valid = jnp.concatenate([store.corner_valid[idx],
+                             store.surf_valid[idx]], axis=0)
+    world = jnp.where(valid[:, None], se3.apply(pose, pts), 0.0)
+    pad = SOURCE_CAP - world.shape[0]
+    if pad > 0:
+        world = jnp.concatenate([world, jnp.zeros((pad, 3))], 0)
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)], 0)
+    return world[:SOURCE_CAP], valid[:SOURCE_CAP]
+
+
+@functools.partial(jax.jit, static_argnames="cfg")
+def detect_and_verify(store: KeyframeStore, cur_stamp: Array,
+                      cfg: LegoLoamConfig):
+    """Full loop-closure attempt for the latest keyframe.
+
+    Returns dict(found, old_idx, latest_idx, z, fitness, corrected_pose):
+    ``z`` = measurement for the between factor (latest → old), and
+    ``corrected_pose`` = ICP-corrected world pose of the latest keyframe
+    (``performLoopClosure``, :806-848).
+    """
+    m = cfg.mapping
+    latest = jnp.maximum(store.count - 1, 0)
+    cur_pose = store.pose[latest]
+
+    found, old_idx = find_candidate(store, cur_pose, cur_stamp, cfg)
+
+    def attempt():
+        tgt, tgt_valid = _gather_history(store, old_idx, cfg)
+        src, src_valid = _gather_latest(store, latest)
+        corr, fitness, n_corr = icp_align(
+            src, src_valid, tgt, tgt_valid,
+            max_iters=m.icp_max_iters,
+            max_corr_dist=m.icp_max_corr_dist, eps=m.icp_eps)
+        ok = (fitness < m.history_keyframe_fitness_score) & (n_corr > 100)
+        corrected = se3.compose(corr, cur_pose)
+        z = se3.relative(corrected, store.pose[old_idx])
+        return ok, z, fitness, corrected
+
+    def skip():
+        return (jnp.bool_(False), jnp.zeros((6,), jnp.float32),
+                jnp.float32(1e9), cur_pose)
+
+    ok, z, fitness, corrected = jax.lax.cond(found, attempt, skip)
+    return {
+        "found": ok,
+        "old_idx": old_idx,
+        "latest_idx": latest,
+        "z": z,
+        "fitness": fitness,
+        "corrected_pose": corrected,
+    }

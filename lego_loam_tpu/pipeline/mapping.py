@@ -28,6 +28,9 @@ from ..core.types import AssociationOut
 from ..graph.keyframes import (CORNER_CAP, OUTLIER_CAP, SCAN2D_CAP,
                                SURF_CAP, KeyframeStore, assemble_submap,
                                empty_store, insert_keyframe)
+from ..graph.posegraph import (FactorGraph, add_factor, empty_graph,
+                               optimize_poses)
+from ..loop.detect import detect_and_verify
 from ..match.voxelhash import voxel_downsample
 from ..solve.scan2map import scan_to_map
 
@@ -37,14 +40,21 @@ Array = jax.Array
 @struct.dataclass
 class MappingState:
     store: KeyframeStore
+    graph: FactorGraph
+    factor_count: Array    # () int32
+    cycle: Array           # () int32 mapping cycles run (loop cadence)
     aft_mapped: Array      # (6,) map-frame pose at last mapping step
     bef_mapped: Array      # (6,) odometry pose at last mapping step
     initialized: Array     # () bool
 
 
 def init_state(cfg: LegoLoamConfig) -> MappingState:
+    m = cfg.mapping
     return MappingState(
         store=empty_store(cfg),
+        graph=empty_graph(m.max_keyframes + m.max_loop_factors),
+        factor_count=jnp.int32(0),
+        cycle=jnp.int32(0),
         aft_mapped=jnp.zeros((6,), jnp.float32),
         bef_mapped=jnp.zeros((6,), jnp.float32),
         initialized=jnp.bool_(False))
@@ -101,16 +111,67 @@ def mapping_step(state: MappingState, assoc: AssociationOut,
     moved = jnp.linalg.norm(pose[3:] - last_kf[3:])
     is_kf = (~state.initialized) | (moved >= m.keyframe_distance)
 
-    def do_insert(store):
-        return insert_keyframe(
+    odom_w = jnp.asarray(m.odom_factor_weight, jnp.float32)
+
+    def do_insert(store, graph, fcount):
+        new_store = insert_keyframe(
             store, pose, assoc.stamp,
             corner_ds, corner_ok, surf_ds, surf_ok,
             outlier_ds, outlier_ok, scan2d_ds, scan2d_ok)
 
-    store = jax.lax.cond(is_kf, do_insert, lambda s: s, state.store)
+        def first(graph, fcount):
+            # PriorFactor on node 0 (:1363-1369)
+            return graph.replace(prior=pose), fcount
+
+        def later(graph, fcount):
+            # BetweenFactor(prev, new) (:1384-1398)
+            z = se3.relative(last_kf, pose)
+            graph, fcount = add_factor(
+                graph, fcount, last_i, store.count, z, odom_w)
+            return graph, fcount
+
+        graph, fcount = jax.lax.cond(store.count == 0, first, later,
+                                     graph, fcount)
+        return new_store, graph, fcount
+
+    store, graph, fcount = jax.lax.cond(
+        is_kf, do_insert, lambda s, g, f: (s, g, f),
+        state.store, state.graph, state.factor_count)
+
+    # --- loop closure, every loop_every_n_mapping cycles (:1562-1568)
+    run_loop = (jnp.bool_(m.enable_loop_closure)
+                & (state.cycle % m.loop_every_n_mapping == 0)
+                & (store.count > 2))
+
+    def with_loop(store, graph, fcount, aft):
+        res = detect_and_verify(store, assoc.stamp, cfg)
+
+        def closed(store, graph, fcount, aft):
+            w = jnp.full((6,), 1.0 / jnp.sqrt(
+                jnp.maximum(res["fitness"], 1e-4)), jnp.float32)
+            graph, fcount = add_factor(
+                graph, fcount, res["latest_idx"], res["old_idx"],
+                res["z"], w)
+            # correctPoses (:1481-1511): full re-solve + pose rewrite
+            new_poses = optimize_poses(store.pose, store.count, graph,
+                                       gn_iters=4, pcg_iters=48)
+            store = store.replace(pose=new_poses)
+            aft = new_poses[res["latest_idx"]]
+            return store, graph, fcount, aft
+
+        return jax.lax.cond(res["found"], closed,
+                            lambda s, g, f, a: (s, g, f, a),
+                            store, graph, fcount, aft)
+
+    store, graph, fcount, pose = jax.lax.cond(
+        run_loop, with_loop, lambda s, g, f, a: (s, g, f, a),
+        store, graph, fcount, pose)
 
     new_state = MappingState(
         store=store,
+        graph=graph,
+        factor_count=fcount,
+        cycle=state.cycle + 1,
         aft_mapped=pose,
         bef_mapped=assoc.odom,
         initialized=jnp.bool_(True))

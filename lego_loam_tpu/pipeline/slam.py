@@ -94,3 +94,14 @@ def replay(xyz: Array, valid: Array, times: Array, cfg: LegoLoamConfig):
         return slam_step(state, raw, cfg)
 
     return jax.lax.scan(step, init_state(cfg), (xyz, valid, times))
+
+
+@functools.partial(jax.jit, static_argnames="cfg")
+def batched_replay(xyz: Array, valid: Array, times: Array,
+                   cfg: LegoLoamConfig):
+    """Replay B independent sequences vmapped on one chip — the
+    multi-session throughput mode (amortises the per-step small-kernel
+    overheads across streams; shard the batch axis over a mesh for
+    multi-chip, see distributed/mesh.py)."""
+    return jax.vmap(lambda x, v, t: replay(x, v, t, cfg))(
+        xyz, valid, times)

@@ -1,0 +1,66 @@
+"""Distributed tests on the 8-virtual-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lego_loam_tpu.core import se3
+from lego_loam_tpu.distributed.mesh import make_mesh, replay_sharded
+from lego_loam_tpu.distributed.sharded_pgo import optimize_poses_sharded
+from lego_loam_tpu.graph.posegraph import (add_factor, empty_graph,
+                                           optimize_poses)
+from tests.test_posegraph import ODOM_W, LOOP_W, build_square
+
+
+def _loop_graph():
+    gt, meas = build_square(n_side=10, drift_yaw=0.004, noise=0.001)
+    n = len(meas) + 1
+    K = 64
+    g = empty_graph(256)
+    count = jnp.int32(0)
+    poses = np.zeros((K, 6), np.float32)
+    for k, z in enumerate(meas):
+        poses[k + 1] = np.asarray(
+            se3.compose(jnp.asarray(poses[k]), jnp.asarray(z)))
+        g, count = add_factor(g, count, jnp.int32(k), jnp.int32(k + 1),
+                              jnp.asarray(z), ODOM_W)
+    z_loop = se3.relative(jnp.asarray(gt[0]), jnp.asarray(gt[n - 1]))
+    g, count = add_factor(g, count, jnp.int32(0), jnp.int32(n - 1),
+                          z_loop, LOOP_W)
+    return jnp.asarray(poses), jnp.int32(n), g
+
+
+def test_sharded_pgo_matches_single_device():
+    assert len(jax.devices()) >= 8, "conftest must fan out 8 CPU devices"
+    poses, n, g = _loop_graph()
+    ref = optimize_poses(poses, n, g, gn_iters=8, pcg_iters=64)
+    mesh = make_mesh(8, axis="pgo")
+    out = optimize_poses_sharded(poses, n, g, mesh, axis="pgo",
+                                 gn_iters=8, pcg_iters=64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_replay_sharded_matches_single(small_sequence, cfg):
+    from lego_loam_tpu.io.npz_io import pack_sequence
+    from lego_loam_tpu.pipeline.slam import replay
+
+    scans, gt, times = small_sequence
+    scans = scans[:6]
+    times = times[:6]
+    xyz, valid, t = pack_sequence(scans, times, cfg)
+
+    ref_state, ref_out = replay(xyz, valid, t, cfg)
+
+    B = 8
+    bx = jnp.broadcast_to(xyz[None], (B,) + xyz.shape)
+    bv = jnp.broadcast_to(valid[None], (B,) + valid.shape)
+    bt = jnp.broadcast_to(t[None], (B,) + t.shape)
+    mesh = make_mesh(8, axis="data")
+    states, outs = replay_sharded(bx, bv, bt, cfg, mesh)
+    fused = np.asarray(outs["fused"])
+    assert fused.shape == (B, 6, 6)
+    for b in range(B):
+        np.testing.assert_allclose(fused[b], np.asarray(ref_out["fused"]),
+                                   atol=1e-5)

@@ -1,0 +1,83 @@
+"""Loop closure: ICP alignment, candidate detection, end-to-end closure."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lego_loam_tpu.core import se3
+from lego_loam_tpu.core.config import vlp16
+from lego_loam_tpu.loop.icp import icp_align
+from lego_loam_tpu.loop.detect import find_candidate
+from lego_loam_tpu.graph.keyframes import empty_store, insert_keyframe
+
+CFG = vlp16()
+
+
+def _pad(pts, cap):
+    out = np.zeros((cap, 3), np.float32)
+    v = np.zeros((cap,), bool)
+    n = min(len(pts), cap)
+    out[:n] = pts[:n]
+    v[:n] = True
+    return jnp.asarray(out), jnp.asarray(v)
+
+
+def test_icp_recovers_transform():
+    rng = np.random.default_rng(0)
+    # structured cloud: two walls + scattered points
+    a = rng.uniform(-5, 5, (800, 3)).astype(np.float32)
+    a[:300, 2] = 0.0                   # ground patch
+    a[300:500, 0] = 4.0                # wall x
+    a[500:700, 1] = -3.0               # wall y
+    true_pose = jnp.asarray([0.02, -0.03, 0.15, 0.4, -0.3, 0.2],
+                            jnp.float32)
+    b = np.asarray(se3.apply(true_pose, jnp.asarray(a)))
+
+    src, src_v = _pad(a, 4096)
+    tgt, tgt_v = _pad(b, 4096)
+    pose, fitness, n_corr = icp_align(src, src_v, tgt, tgt_v,
+                                      max_iters=50)
+    err = np.abs(np.asarray(pose) - np.asarray(true_pose))
+    assert err.max() < 0.02, (err, float(fitness))
+    assert float(fitness) < 1e-3
+    assert int(n_corr) == 800
+
+
+def test_icp_fitness_high_for_unrelated_clouds():
+    rng = np.random.default_rng(1)
+    a = rng.uniform(-5, 5, (500, 3)).astype(np.float32)
+    b = rng.uniform(40, 60, (500, 3)).astype(np.float32)
+    src, src_v = _pad(a, 4096)
+    tgt, tgt_v = _pad(b, 4096)
+    pose, fitness, _ = icp_align(src, src_v, tgt, tgt_v, max_iters=20)
+    assert float(fitness) > CFG.mapping.history_keyframe_fitness_score
+
+
+def test_find_candidate_respects_time_and_radius():
+    store = empty_store(CFG)
+    z = np.zeros((1024, 3), np.float32)
+    zv = np.zeros((1024,), bool)
+    dummy = dict(corner=jnp.asarray(z), corner_valid=jnp.asarray(zv))
+    for i in range(60):
+        # straight out 15 keyframes then back: pose 59 near pose 0
+        x = min(i, 30 - abs(i - 30)) if i < 60 else 0
+        pose = jnp.asarray([0, 0, 0, float(min(i, 59 - i)), 0, 0],
+                           jnp.float32)
+        store = insert_keyframe(
+            store, pose, jnp.float32(i * 1.0),
+            jnp.zeros((1024, 3)), jnp.zeros((1024,), bool),
+            jnp.zeros((2048, 3)), jnp.zeros((2048,), bool),
+            jnp.zeros((512, 3)), jnp.zeros((512,), bool),
+            jnp.zeros((512, 3)), jnp.zeros((512,), bool))
+    cur_pose = store.pose[59]
+    found, idx = find_candidate(store, cur_pose, jnp.float32(59.0), CFG)
+    assert bool(found)
+    # candidate must be ≥30 s older and within 7 m
+    assert float(jnp.float32(59.0) - store.stamp[idx]) > 30.0
+    d = float(jnp.linalg.norm(store.pose[idx][3:] - cur_pose[3:]))
+    assert d < CFG.mapping.history_keyframe_search_radius
+
+    # no candidate when everything is recent
+    found2, _ = find_candidate(store, cur_pose, jnp.float32(20.0), CFG)
+    assert not bool(found2)
