@@ -83,12 +83,23 @@ def label_components(img: RangeImage, cfg: LegoLoamConfig):
 
     Returns ``(labels, segmentable)`` where ``labels[i,j]`` is the min flat
     index of the pixel's component (sentinel where not segmentable).
+
+    On TPU the fixed-point flood runs as a single VMEM-resident Pallas
+    kernel (frontend/pallas_label.py); elsewhere as jnp segmented scans.
     """
     segmentable, right, down = _edge_masks(img, cfg)
     V, H = segmentable.shape
 
     flat = jnp.arange(V * H, dtype=jnp.int32).reshape(V, H)
     labels0 = jnp.where(segmentable, flat, _SENTINEL)
+
+    if jax.default_backend() == "tpu":
+        from .pallas_label import propagate_labels_pallas
+
+        labels = propagate_labels_pallas(
+            labels0, right.astype(jnp.int32), down.astype(jnp.int32),
+            max_sweeps=cfg.projection.max_label_iters)
+        return labels, segmentable
 
     # boundaries for the scans: element j starts a new segment if it is NOT
     # connected to its predecessor along the scan direction.

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from ..core import se3
 from ..core.config import LegoLoamConfig
+from ..core.linalg3 import eigvals_sym3, principal_eigvec_sym3, solve3
 from ..match.bruteforce import knn_chunked
 
 Array = jax.Array
@@ -60,9 +61,9 @@ def _corner_assoc(pose: Array, pts: Array, pts_valid: Array,
     centroid = jnp.mean(nb, axis=1)
     d = nb - centroid[:, None, :]
     cov = jnp.einsum("nki,nkj->nij", d, d) / 5.0
-    evals, evecs = jnp.linalg.eigh(cov)                  # ascending
+    evals = eigvals_sym3(cov)                            # ascending
     is_line = evals[:, 2] > m.corner_line_eig_ratio * evals[:, 1]
-    u = evecs[:, :, 2]                                   # principal dir
+    u = principal_eigvec_sym3(cov, evals[:, 2])          # principal dir
 
     v = world - centroid
     r = v - jnp.sum(v * u, axis=-1, keepdims=True) * u
@@ -89,7 +90,7 @@ def _surf_assoc(pose: Array, pts: Array, pts_valid: Array,
     # plane fit A·n = −1  (:1146-1153): 3×3 normal equations
     AtA = jnp.einsum("nki,nkj->nij", nb, nb)
     Atb = -jnp.sum(nb, axis=1)
-    n = jnp.linalg.solve(AtA + 1e-8 * jnp.eye(3), Atb[..., None])[..., 0]
+    n = solve3(AtA + 1e-8 * jnp.eye(3), Atb)
     norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
     n_unit = n / jnp.maximum(norm, 1e-12)
     pd = 1.0 / jnp.maximum(norm[..., 0], 1e-12)
