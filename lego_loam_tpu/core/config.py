@@ -165,6 +165,8 @@ class MappingConfig:
     odom_factor_weight: tuple = (1e3, 1e3, 1e3, 1e3, 1e3, 1e3)
     loop_every_n_mapping: int = 3              # :1562-1568
     max_loop_factors: int = 512
+    loop_history_cap: int = 32768              # ICP target capacity
+    loop_source_cap: int = 4096                # ICP source capacity
 
 
 @dataclasses.dataclass(frozen=True)

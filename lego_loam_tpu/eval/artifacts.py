@@ -1,0 +1,118 @@
+"""Observability artifacts — the reference's rviz topic set, as files.
+
+The reference publishes ~20 debug topics (SURVEY.md §2.8: projected/
+ground/segmented clouds, feature clouds, trajectory odometries, the
+occupancy grid) plus a throughput log line (``main.cpp:84-93``).  Offline,
+the equivalent is an artifact directory per run: trajectories in TUM
+format (evo-compatible), point clouds as .npy, the 2D grid as PGM, and a
+metrics JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def _rpy_to_quat(rpy: np.ndarray) -> np.ndarray:
+    """(N,3) roll/pitch/yaw → (N,4) qx qy qz qw (matches R = Rz Ry Rx)."""
+    r, p, y = rpy[:, 0] / 2, rpy[:, 1] / 2, rpy[:, 2] / 2
+    cr, sr, cp, sp, cy, sy = (np.cos(r), np.sin(r), np.cos(p), np.sin(p),
+                              np.cos(y), np.sin(y))
+    qw = cr * cp * cy + sr * sp * sy
+    qx = sr * cp * cy - cr * sp * sy
+    qy = cr * sp * cy + sr * cp * sy
+    qz = cr * cp * sy - sr * sp * cy
+    return np.stack([qx, qy, qz, qw], 1)
+
+
+def write_tum_trajectory(path: str, poses: np.ndarray,
+                         times: np.ndarray) -> None:
+    """TUM format: ``t x y z qx qy qz qw`` — consumable by evo/rpg eval."""
+    poses = np.asarray(poses)
+    q = _rpy_to_quat(poses[:, :3])
+    with open(path, "w") as f:
+        for i in range(len(poses)):
+            t = float(times[i])
+            x, y, z = poses[i, 3:]
+            f.write(f"{t:.6f} {x:.6f} {y:.6f} {z:.6f} "
+                    f"{q[i,0]:.6f} {q[i,1]:.6f} {q[i,2]:.6f} "
+                    f"{q[i,3]:.6f}\n")
+
+
+def write_occupancy_pgm(path: str, grid: np.ndarray) -> None:
+    """Occupancy grid → binary PGM (0=occupied black, 254=free white,
+    205=unknown — the map_server convention)."""
+    g = np.asarray(grid)
+    img = np.full(g.shape, 205, np.uint8)
+    img[g < 50] = 254
+    img[g > 50] = 0
+    with open(path, "wb") as f:
+        f.write(f"P5\n{g.shape[1]} {g.shape[0]}\n255\n".encode())
+        f.write(img[::-1].tobytes())
+
+
+def dump_run_artifacts(out_dir: str, outputs: Dict[str, np.ndarray],
+                       times: np.ndarray,
+                       final_state=None,
+                       cfg=None,
+                       gt_poses: Optional[np.ndarray] = None,
+                       metrics: Optional[dict] = None) -> None:
+    """Write the full artifact set for one replay."""
+    os.makedirs(out_dir, exist_ok=True)
+    n = len(times)
+    for name in ("odom", "fused", "mapped"):
+        if name in outputs:
+            write_tum_trajectory(
+                os.path.join(out_dir, f"trajectory_{name}.tum"),
+                np.asarray(outputs[name])[:n], times)
+    if gt_poses is not None:
+        write_tum_trajectory(os.path.join(out_dir, "trajectory_gt.tum"),
+                             np.asarray(gt_poses)[:n], times)
+
+    if final_state is not None and cfg is not None:
+        import jax.numpy as jnp
+
+        from ..map2d.grid import build_occupancy_grid
+
+        store = final_state.mapping.store
+        if int(store.count) > 0:
+            center = jnp.asarray(np.asarray(store.pose)[: int(store.count),
+                                                        :].mean(0),
+                                 jnp.float32)
+            grid, origin = build_occupancy_grid(store, center, cfg)
+            write_occupancy_pgm(os.path.join(out_dir, "map2d.pgm"),
+                                np.asarray(grid))
+            np.save(os.path.join(out_dir, "keyframe_poses.npy"),
+                    np.asarray(store.pose)[: int(store.count)])
+
+    meta = {"n_scans": int(n), "written_at": time.time()}
+    if metrics:
+        meta.update(metrics)
+    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+
+
+class StageTimer:
+    """Host-side per-stage wall-clock accumulator (the ``Processing the
+    rosbag at X speed`` counter, ``main.cpp:84-93``, generalized)."""
+
+    def __init__(self):
+        self.totals: Dict[str, float] = {}
+        self.counts: Dict[str, int] = {}
+
+    def add(self, stage: str, seconds: float):
+        self.totals[stage] = self.totals.get(stage, 0.0) + seconds
+        self.counts[stage] = self.counts.get(stage, 0) + 1
+
+    def summary(self) -> Dict[str, dict]:
+        return {
+            k: {"total_s": round(v, 4),
+                "mean_ms": round(1000 * v / max(self.counts[k], 1), 3),
+                "count": self.counts[k]}
+            for k, v in self.totals.items()
+        }

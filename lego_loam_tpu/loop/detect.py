@@ -26,8 +26,7 @@ from .icp import icp_align
 
 Array = jax.Array
 
-HISTORY_CAP = 32768     # downsampled candidate-submap capacity
-SOURCE_CAP = 4096       # latest-keyframe cloud capacity
+# capacities come from MappingConfig.loop_history_cap / loop_source_cap
 
 
 def find_candidate(store: KeyframeStore, cur_pose: Array,
@@ -64,21 +63,21 @@ def _gather_history(store: KeyframeStore, center: Array,
 
     pts, valid = jax.vmap(one)(ks, ok)
     return voxel_downsample(pts.reshape(-1, 3), valid.reshape(-1),
-                            m.outlier_leaf_size, HISTORY_CAP)
+                            m.outlier_leaf_size, m.loop_history_cap)
 
 
-def _gather_latest(store: KeyframeStore, idx: Array):
+def _gather_latest(store: KeyframeStore, idx: Array, source_cap: int):
     """Latest keyframe's corner+surf cloud in world frame (:729-738)."""
     pose = store.pose[idx]
     pts = jnp.concatenate([store.corner[idx], store.surf[idx]], axis=0)
     valid = jnp.concatenate([store.corner_valid[idx],
                              store.surf_valid[idx]], axis=0)
     world = jnp.where(valid[:, None], se3.apply(pose, pts), 0.0)
-    pad = SOURCE_CAP - world.shape[0]
+    pad = source_cap - world.shape[0]
     if pad > 0:
         world = jnp.concatenate([world, jnp.zeros((pad, 3))], 0)
         valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)], 0)
-    return world[:SOURCE_CAP], valid[:SOURCE_CAP]
+    return world[:source_cap], valid[:source_cap]
 
 
 @functools.partial(jax.jit, static_argnames="cfg")
@@ -99,7 +98,7 @@ def detect_and_verify(store: KeyframeStore, cur_stamp: Array,
 
     def attempt():
         tgt, tgt_valid = _gather_history(store, old_idx, cfg)
-        src, src_valid = _gather_latest(store, latest)
+        src, src_valid = _gather_latest(store, latest, m.loop_source_cap)
         corr, fitness, n_corr = icp_align(
             src, src_valid, tgt, tgt_valid,
             max_iters=m.icp_max_iters,

@@ -1,0 +1,142 @@
+"""Driver CLI — the ``roslaunch lego_loam_bor run.launch rosbag:=…``
+equivalent (``main.cpp:11-112``, ``launch/run.launch``).
+
+Offline (default): whole-sequence compiled replay (`lax.scan`), max
+device speed — the BOR fork's deterministic bag mode.
+
+Streaming (``--streaming``): scans flow through the native bounded
+channel (depth 1 ⇒ lock-step, like ``projection_out_channel``) into
+per-scan `slam_step` calls — the live-topic mode, at sensor rate or as
+fast as the producer sends.
+
+Examples:
+  python -m lego_loam_tpu.run --input seq.npz --output out/
+  python -m lego_loam_tpu.run --synthetic 300 --output out/ --config cfg.yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import threading
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", help=".npz sequence (io.npz_io format)")
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="generate N synthetic scans instead of --input")
+    ap.add_argument("--output", default="artifacts",
+                    help="artifact directory")
+    ap.add_argument("--config", help="reference-style YAML config")
+    ap.add_argument("--odometry-only", action="store_true")
+    ap.add_argument("--streaming", action="store_true",
+                    help="per-scan streaming through the native channel")
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args(argv)
+
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from .core import se3
+    from .core.config import vlp16
+    from .core.params import config_from_yaml
+    from .eval.artifacts import StageTimer, dump_run_artifacts
+    from .eval.metrics import ate
+    from .io.npz_io import load_sequence, pack_sequence
+
+    cfg = config_from_yaml(args.config) if args.config else vlp16()
+    if args.odometry_only:
+        cfg = cfg.replace(pipeline=dataclasses.replace(
+            cfg.pipeline, odometry_only=True))
+
+    if args.synthetic:
+        from .io.synthetic import make_sequence
+        scans, gt, times = make_sequence(args.synthetic, cfg,
+                                         seed=args.seed, noise=0.01)
+    elif args.input:
+        scans, gt, times = load_sequence(args.input)
+    else:
+        ap.error("need --input or --synthetic")
+
+    n = len(scans)
+    print(f"[lego-loam-tpu] {n} scans, backend={jax.default_backend()}",
+          file=sys.stderr)
+
+    timer = StageTimer()
+    if args.streaming:
+        from .core.types import RawScan
+        from .io.native_feeder import ScanChannel
+        from .pipeline.slam import init_state, slam_step
+
+        ch = ScanChannel(cfg.pipeline.max_points, depth=1)
+
+        def produce():
+            for i, pts in enumerate(scans):
+                ch.send(pts, float(times[i]))
+            ch.close()
+
+        threading.Thread(target=produce, daemon=True).start()
+
+        state = init_state(cfg)
+        fused_list = []
+        t0 = time.time()
+        while True:
+            item = ch.recv()
+            if item is None:
+                break
+            xyz, valid, stamp = item
+            t1 = time.time()
+            raw = RawScan(xyz=jnp.asarray(xyz), valid=jnp.asarray(valid),
+                          stamp=jnp.float32(stamp))
+            state, out = slam_step(state, raw, cfg)
+            fused_list.append(np.asarray(out["fused"]))
+            timer.add("slam_step", time.time() - t1)
+        wall = time.time() - t0
+        outs = {"fused": np.asarray(fused_list)}
+        final_state = state
+    else:
+        from .pipeline.slam import replay
+
+        xyz, valid, t = pack_sequence(scans, times, cfg)
+        t0 = time.time()
+        final_state, outs = replay(xyz, valid, t, cfg)
+        jax.block_until_ready(outs)
+        timer.add("compile+replay", time.time() - t0)
+        t0 = time.time()
+        final_state, outs = replay(xyz, valid, t, cfg)
+        jax.block_until_ready(outs)
+        wall = time.time() - t0
+        timer.add("replay", wall)
+
+    rate = n / wall
+    speed_x = rate * cfg.laser.scan_period
+    print(f"[lego-loam-tpu] processed at {speed_x:.1f}X sensor speed "
+          f"({rate:.1f} scans/s)", file=sys.stderr)
+
+    metrics = {"scans_per_sec": round(rate, 2),
+               "realtime_factor": round(speed_x, 2),
+               "stages": timer.summary()}
+    if gt is not None:
+        gt_j = jnp.asarray(gt)
+        gt_rel = np.asarray(jax.vmap(
+            lambda g: se3.relative(gt_j[0], g))(gt_j))
+        fused = np.asarray(outs["fused"])
+        m = ate(fused[:-1], gt_rel[1:len(fused)], align=False)
+        metrics["ate"] = m
+        print(f"[lego-loam-tpu] ATE rmse {m['rmse']:.3f} m",
+              file=sys.stderr)
+
+    dump_run_artifacts(args.output, outs, times, final_state, cfg,
+                       gt_poses=gt, metrics=metrics)
+    print(json.dumps(metrics.get("ate", {"scans_per_sec": rate})))
+
+
+if __name__ == "__main__":
+    main()
