@@ -32,8 +32,9 @@ def replay_sharded(xyz: jax.Array, valid: jax.Array, times: jax.Array,
                    cfg: LegoLoamConfig, mesh: Mesh, axis: str = "data"):
     """Replay B independent sequences, sharded over ``mesh[axis]``.
 
-    Args: (B, N, P, 3) / (B, N, P) / (B, N) stacked sequences; B must be
-    divisible by the mesh axis size.
+    Args: (B, N, P*3) / (B, N, P) / (B, N) stacked sequences
+    (coordinates row-flattened, see ``io.npz_io.pack_sequence``); B must
+    be divisible by the mesh axis size.
 
     Returns (final_states, outputs) with leading batch axis sharded.
     """
@@ -48,8 +49,9 @@ def replay_sharded(xyz: jax.Array, valid: jax.Array, times: jax.Array,
     def one_sequence(x, v, t):
         def step(state, inp):
             xs, vs, ts = inp
-            return slam_step(state, RawScan(xyz=xs, valid=vs, stamp=ts),
-                             cfg)
+            return slam_step(
+                state,
+                RawScan(xyz=xs.reshape(-1, 3), valid=vs, stamp=ts), cfg)
         return jax.lax.scan(step, init_state(cfg), (x, v, t))
 
     fn = jax.jit(jax.vmap(one_sequence),

@@ -79,34 +79,25 @@ def _sector_bounds(count: Array, num_sectors: int, guard: int = 5):
     return sp, ep
 
 
-def _suppress_neighbors(idx: Array, col: Array, S: int,
-                        max_gap: int, reach: int = 5) -> Array:
-    """Suppression mask for one pick at compacted index ``idx`` in a ring:
-    ±``reach`` neighbours, stopping at column gaps > ``max_gap``
-    (``featureAssociation.cpp:306-326``).  Returns (S,) bool."""
-    pos = jnp.arange(S)
-    mask = pos == idx
-    ok_fwd = jnp.bool_(True)
-    ok_bwd = jnp.bool_(True)
-    for l in range(1, reach + 1):
-        jf = jnp.clip(idx + l, 0, S - 1)
-        gap_f = jnp.abs(col[jf] - col[jnp.clip(idx + l - 1, 0, S - 1)])
-        ok_fwd = ok_fwd & (gap_f <= max_gap) & (idx + l < S)
-        mask = mask | (ok_fwd & (pos == idx + l))
-        jb = jnp.clip(idx - l, 0, S - 1)
-        gap_b = jnp.abs(col[jb] - col[jnp.clip(idx - l + 1, 0, S - 1)])
-        ok_bwd = ok_bwd & (gap_b <= max_gap) & (idx - l >= 0)
-        mask = mask | (ok_bwd & (pos == idx - l))
-    return mask
+def _gap_prefix(col: Array, valid: Array, max_gap: int) -> Array:
+    """Per-ring prefix count of column gaps > ``max_gap``.  The
+    reference's ±5 suppression walk breaks at the first such gap
+    (``featureAssociation.cpp:306-326``); with this prefix sum the break
+    condition becomes simply ``badcum[p] == badcum[idx]``."""
+    gap = jnp.abs(col - jnp.roll(col, 1, axis=1))
+    bad = (gap > max_gap) | ~valid
+    bad = bad.at[:, 0].set(False)
+    return jnp.cumsum(bad.astype(jnp.int32), axis=1)
 
 
-def _greedy_pick(score: Array, eligible0: Array, picked0: Array, col: Array,
-                 n_picks: int, maximize: bool, cfg: LegoLoamConfig):
+def _greedy_pick(score: Array, eligible0: Array, picked0: Array,
+                 badcum: Array, n_picks: int, maximize: bool,
+                 cfg: LegoLoamConfig):
     """Run ``n_picks`` rounds of (argbest over each ring×sector, mark,
-    suppress).  Returns (pick_mask (V,K,S) one-hot per round stacked into
-    rank order, picked)."""
-    f = cfg.feature
+    suppress ±5 neighbours up to the first column gap).  Returns
+    (pick one-hots (n_picks, V, K, S) in rank order, picked)."""
     V, K, S = eligible0.shape
+    pos = jnp.arange(S)
 
     def body(carry, _):
         picked, rank = carry
@@ -116,12 +107,11 @@ def _greedy_pick(score: Array, eligible0: Array, picked0: Array, col: Array,
                else jnp.argmin(s, axis=-1))                    # (V,K)
         has = jnp.any(elig, axis=-1)                           # (V,K)
 
-        sup = jax.vmap(  # over rings
-            jax.vmap(_suppress_neighbors, in_axes=(0, None, None, None)),
-            in_axes=(0, 0, None, None),
-        )(idx, col, S, f.occlusion_col_diff)                   # (V,K,S)
-        sup = sup & has[:, :, None]
-        one_hot = sup & (jnp.arange(S) == idx[:, :, None]) & has[:, :, None]
+        bc_idx = jnp.take_along_axis(badcum, idx, axis=1)      # (V,K)
+        near = jnp.abs(pos[None, None, :] - idx[:, :, None]) <= 5
+        same_run = badcum[:, None, :] == bc_idx[:, :, None]
+        sup = near & same_run & has[:, :, None]                # (V,K,S)
+        one_hot = (pos[None, None, :] == idx[:, :, None]) & has[:, :, None]
         picked = picked | jnp.any(sup, axis=1)
         return (picked, rank + 1), one_hot
 
@@ -141,7 +131,6 @@ def _gather_features(seg: SegmentedCloud, mask: Array, capacity: int,
     xyz = seg.xyz.reshape(-1, 3)[order]
     ring = rings.reshape(-1)[order].astype(jnp.float32)
     rel = seg.rel_time.reshape(-1)[order]
-    z = jnp.zeros_like
     return FeatureCloud(
         xyz=jnp.where(valid[:, None], xyz, 0.0),
         ring=jnp.where(valid, ring, 0.0),
@@ -159,6 +148,7 @@ def extract_features(seg: SegmentedCloud, cfg: LegoLoamConfig) -> FeatureSet:
 
     curv = compute_curvature(seg)
     picked0 = occlusion_mask(seg, cfg)
+    badcum = _gap_prefix(seg.col, seg.valid, f.occlusion_col_diff)
 
     sp, ep = _sector_bounds(seg.count, K)             # (V,K)
     pos = jnp.arange(S)
@@ -171,7 +161,7 @@ def extract_features(seg: SegmentedCloud, cfg: LegoLoamConfig) -> FeatureSet:
     corner_elig = (base_ok & ~seg.is_ground[:, None, :]
                    & (curv > f.edge_threshold)[:, None, :])
     corner_oh, picked = _greedy_pick(
-        curv, corner_elig, picked0, seg.col, f.less_sharp_per_sector,
+        curv, corner_elig, picked0, badcum, f.less_sharp_per_sector,
         maximize=True, cfg=cfg)
     corner_any = jnp.any(corner_oh, axis=2)           # (rank, V, S)
     sharp_mask = jnp.any(corner_any[:f.sharp_per_sector], axis=0)
@@ -181,7 +171,7 @@ def extract_features(seg: SegmentedCloud, cfg: LegoLoamConfig) -> FeatureSet:
     flat_elig = (base_ok & seg.is_ground[:, None, :]
                  & (curv < f.surf_threshold)[:, None, :])
     flat_oh, picked = _greedy_pick(
-        curv, flat_elig, picked, seg.col, f.flat_per_sector,
+        curv, flat_elig, picked, badcum, f.flat_per_sector,
         maximize=False, cfg=cfg)
     flat_mask = jnp.any(jnp.any(flat_oh, axis=2), axis=0)
 

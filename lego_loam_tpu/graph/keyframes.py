@@ -31,21 +31,36 @@ SCAN2D_CAP = 512
 
 @struct.dataclass
 class KeyframeStore:
+    """Cloud blocks are stored ROW-FLATTENED (K, C*3): a (K, C, 3) device
+    array gets its minor dim tile-padded 3→128 on TPU (42× HBM — ~8.5 GB
+    at full capacity).  Use :func:`as_points` to view a gathered row as
+    (…, C, 3)."""
+
     pose: Array          # (K, 6) map-frame keyframe poses
     stamp: Array         # (K,)
     count: Array         # ()  int32
-    corner: Array        # (K, CORNER_CAP, 3)  sensor frame
+    corner: Array        # (K, CORNER_CAP*3)  sensor frame
     corner_valid: Array  # (K, CORNER_CAP)
-    surf: Array          # (K, SURF_CAP, 3)    (surf + outlier merged)
+    surf: Array          # (K, SURF_CAP*3)    (surf + outlier separate)
     surf_valid: Array    # (K, SURF_CAP)
-    outlier: Array       # (K, OUTLIER_CAP, 3)
+    outlier: Array       # (K, OUTLIER_CAP*3)
     outlier_valid: Array
-    scan2d: Array        # (K, SCAN2D_CAP, 3)  sensor frame (z≈chest)
+    scan2d: Array        # (K, SCAN2D_CAP*3)  sensor frame (z≈chest)
     scan2d_valid: Array
 
     @property
     def capacity(self) -> int:
         return self.pose.shape[0]
+
+
+def as_points(flat: Array) -> Array:
+    """(…, C*3) → (…, C, 3)."""
+    return flat.reshape(flat.shape[:-1] + (-1, 3))
+
+
+def as_flat(pts: Array) -> Array:
+    """(…, C, 3) → (…, C*3)."""
+    return pts.reshape(pts.shape[:-2] + (-1,))
 
 
 def empty_store(cfg: LegoLoamConfig) -> KeyframeStore:
@@ -54,13 +69,13 @@ def empty_store(cfg: LegoLoamConfig) -> KeyframeStore:
     return KeyframeStore(
         pose=z((K, 6), jnp.float32), stamp=z((K,), jnp.float32),
         count=jnp.int32(0),
-        corner=z((K, CORNER_CAP, 3), jnp.float32),
+        corner=z((K, CORNER_CAP * 3), jnp.float32),
         corner_valid=z((K, CORNER_CAP), bool),
-        surf=z((K, SURF_CAP, 3), jnp.float32),
+        surf=z((K, SURF_CAP * 3), jnp.float32),
         surf_valid=z((K, SURF_CAP), bool),
-        outlier=z((K, OUTLIER_CAP, 3), jnp.float32),
+        outlier=z((K, OUTLIER_CAP * 3), jnp.float32),
         outlier_valid=z((K, OUTLIER_CAP), bool),
-        scan2d=z((K, SCAN2D_CAP, 3), jnp.float32),
+        scan2d=z((K, SCAN2D_CAP * 3), jnp.float32),
         scan2d_valid=z((K, SCAN2D_CAP), bool))
 
 
@@ -70,6 +85,10 @@ def insert_keyframe(store: KeyframeStore, pose: Array, stamp: Array,
                     outlier: Array, outlier_valid: Array,
                     scan2d: Array, scan2d_valid: Array) -> KeyframeStore:
     """Append at position ``count`` (no-op when full)."""
+    corner = as_flat(corner)
+    surf = as_flat(surf)
+    outlier = as_flat(outlier)
+    scan2d = as_flat(scan2d)
     i = jnp.minimum(store.count, store.capacity - 1)
     full = store.count >= store.capacity
     sel = lambda new, old: jax.lax.cond(full, lambda: old, lambda: new)
@@ -123,18 +142,15 @@ def assemble_submap(store: KeyframeStore, cur_pose: Array,
     sel_ok = jnp.isfinite(-neg_top)                      # (window,)
 
     sel_pose = store.pose[sel_idx]
-    corner_w = jax.vmap(_transform_block)(
-        sel_pose, store.corner[sel_idx],
-        store.corner_valid[sel_idx] & sel_ok[:, None])
     corner_valid = store.corner_valid[sel_idx] & sel_ok[:, None]
-    surf_w = jax.vmap(_transform_block)(
-        sel_pose, store.surf[sel_idx],
-        store.surf_valid[sel_idx] & sel_ok[:, None])
+    corner_w = jax.vmap(_transform_block)(
+        sel_pose, as_points(store.corner[sel_idx]), corner_valid)
     surf_valid = store.surf_valid[sel_idx] & sel_ok[:, None]
-    out_w = jax.vmap(_transform_block)(
-        sel_pose, store.outlier[sel_idx],
-        store.outlier_valid[sel_idx] & sel_ok[:, None])
+    surf_w = jax.vmap(_transform_block)(
+        sel_pose, as_points(store.surf[sel_idx]), surf_valid)
     out_valid = store.outlier_valid[sel_idx] & sel_ok[:, None]
+    out_w = jax.vmap(_transform_block)(
+        sel_pose, as_points(store.outlier[sel_idx]), out_valid)
 
     corner_xyz, corner_ok = voxel_downsample(
         corner_w.reshape(-1, 3), corner_valid.reshape(-1),

@@ -139,13 +139,18 @@ def _block_diag(g: FactorGraph, Ai: Array, Aj: Array, prior_w2: Array,
     return D
 
 
-def _pcg(matvec, b: Array, M_inv, iters: int, tol: float = 1e-8):
-    """Preconditioned conjugate gradient on flattened (K,6) vectors."""
+def _pcg(matvec, b: Array, M_inv, iters: int, rtol: float = 1e-6):
+    """Preconditioned conjugate gradient on flattened (K,6) vectors.
+
+    Convergence on RELATIVE residual (‖r‖ ≤ rtol·‖b‖) — the stiff
+    odometry weights put absolute gradient scales at ~1e6, so an absolute
+    tolerance either never fires or fires instantly."""
     x = jnp.zeros_like(b)
     r = b
     z = M_inv(r)
     p = z
     rz = jnp.sum(r * z)
+    rr0 = jnp.sum(b * b)
 
     def body(state):
         x, r, p, rz, it = state
@@ -161,7 +166,7 @@ def _pcg(matvec, b: Array, M_inv, iters: int, tol: float = 1e-8):
 
     def cond(state):
         _, r, _, _, it = state
-        return (it < iters) & (jnp.sum(r * r) > tol)
+        return (it < iters) & (jnp.sum(r * r) > rtol * rtol * rr0)
 
     x, *_ = jax.lax.while_loop(cond, body, (x, r, p, rz, jnp.int32(0)))
     return x

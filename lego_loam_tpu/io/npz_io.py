@@ -34,8 +34,15 @@ def pack_raw_scan(points: np.ndarray, stamp: float,
 
 def pack_sequence(scans: Sequence[np.ndarray], times: Sequence[float],
                   cfg: LegoLoamConfig):
-    """Stack a whole sequence into batched device arrays (N, P, 3)/(N, P) —
-    the layout `lax.scan` replay consumes."""
+    """Stack a whole sequence into batched device arrays — the layout
+    `lax.scan` replay consumes.
+
+    Returns (xyz (N, P*3), valid (N, P), times (N,)).  The coordinate
+    axis is FLATTENED into the row: a (N, P, 3) device array would be
+    tile-padded 3→128 on the minor dim by the TPU layout (42× memory —
+    an OOM at Stevens scale); per-step `reshape(P, 3)` inside the scan is
+    a 400 KB copy instead.
+    """
     cap = cfg.pipeline.max_points
     xyz = np.zeros((len(scans), cap, 3), np.float32)
     valid = np.zeros((len(scans), cap), bool)
@@ -45,7 +52,8 @@ def pack_sequence(scans: Sequence[np.ndarray], times: Sequence[float],
         n = min(pts.shape[0], cap)
         xyz[i, :n] = np.nan_to_num(pts[:n], nan=0.0, posinf=0.0, neginf=0.0)
         valid[i, :n] = finite[:n]
-    return (jnp.asarray(xyz), jnp.asarray(valid),
+    return (jnp.asarray(xyz.reshape(len(scans), cap * 3)),
+            jnp.asarray(valid),
             jnp.asarray(np.asarray(times, np.float32)))
 
 

@@ -91,6 +91,31 @@ def circle_trajectory(n_scans: int, radius: float = 8.0,
     return pose_at(times), times, pose_at
 
 
+def figure_eight_trajectory(n_scans: int, ax: float = 14.0,
+                            by: float = 9.0, period_s: float = 70.0,
+                            scan_period: float = 0.1,
+                            height: float = 0.8):
+    """Lissajous figure-eight — crosses its own path every half lap, the
+    loop-closure stress pattern (Stevens-style revisits).
+
+    Returns (poses (N,6), times (N,), pose_fn)."""
+    omega = 2.0 * np.pi / period_s
+
+    def pose_at(t):
+        t = np.asarray(t, np.float64)
+        x = ax * np.sin(omega * t)
+        y = by * np.sin(2.0 * omega * t)
+        dx = ax * omega * np.cos(omega * t)
+        dy = 2.0 * by * omega * np.cos(2.0 * omega * t)
+        yaw = np.arctan2(dy, dx)
+        zeros = np.zeros_like(t)
+        return np.stack([zeros, zeros, yaw, x, y,
+                         np.full_like(t, height)], axis=-1)
+
+    times = np.arange(n_scans) * scan_period
+    return pose_at(times), times, pose_at
+
+
 def _raycast(origins: np.ndarray, dirs: np.ndarray,
              world: World, max_range: float = 100.0) -> np.ndarray:
     """Nearest-hit distances for rays (…,3)+(…,3) against the world.
@@ -220,8 +245,11 @@ def simulate_scan(pose_fn, t0: float, cfg: LegoLoamConfig, world: World,
 def make_sequence(n_scans: int, cfg: Optional[LegoLoamConfig] = None,
                   seed: int = 0, noise: float = 0.0,
                   radius: float = 8.0, speed: float = 1.0,
-                  distortion: bool = True):
+                  distortion: bool = True, trajectory: str = "circle"):
     """Generate a full sequence.
+
+    ``trajectory``: "circle" (single revisit site) or "figure8"
+    (Lissajous, repeated crossings — the loop-closure stress pattern).
 
     Returns (scans: list[(P,3) float32 with NaNs], gt_poses (N,6), times).
     """
@@ -229,8 +257,13 @@ def make_sequence(n_scans: int, cfg: Optional[LegoLoamConfig] = None,
 
     cfg = cfg or vlp16()
     world = default_world(seed)
-    gt, times, pose_fn = circle_trajectory(
-        n_scans, radius=radius, speed=speed, period=cfg.laser.scan_period)
+    if trajectory == "figure8":
+        gt, times, pose_fn = figure_eight_trajectory(
+            n_scans, scan_period=cfg.laser.scan_period)
+    else:
+        gt, times, pose_fn = circle_trajectory(
+            n_scans, radius=radius, speed=speed,
+            period=cfg.laser.scan_period)
     scans = [
         simulate_scan(pose_fn, t, cfg, world, noise=noise, seed=seed + i,
                       distortion=distortion)

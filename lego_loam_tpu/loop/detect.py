@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ..core import se3
 from ..core.config import LegoLoamConfig
-from ..graph.keyframes import KeyframeStore
+from ..graph.keyframes import KeyframeStore, as_points
 from ..match.voxelhash import voxel_downsample
 from .icp import icp_align
 
@@ -56,7 +56,8 @@ def _gather_history(store: KeyframeStore, center: Array,
 
     def one(k, k_ok):
         pose = store.pose[k]
-        pts = jnp.concatenate([store.corner[k], store.surf[k]], axis=0)
+        pts = jnp.concatenate([as_points(store.corner[k]),
+                               as_points(store.surf[k])], axis=0)
         valid = jnp.concatenate([store.corner_valid[k],
                                  store.surf_valid[k]], axis=0) & k_ok
         return jnp.where(valid[:, None], se3.apply(pose, pts), 0.0), valid
@@ -69,7 +70,8 @@ def _gather_history(store: KeyframeStore, center: Array,
 def _gather_latest(store: KeyframeStore, idx: Array, source_cap: int):
     """Latest keyframe's corner+surf cloud in world frame (:729-738)."""
     pose = store.pose[idx]
-    pts = jnp.concatenate([store.corner[idx], store.surf[idx]], axis=0)
+    pts = jnp.concatenate([as_points(store.corner[idx]),
+                           as_points(store.surf[idx])], axis=0)
     valid = jnp.concatenate([store.corner_valid[idx],
                              store.surf_valid[idx]], axis=0)
     world = jnp.where(valid[:, None], se3.apply(pose, pts), 0.0)

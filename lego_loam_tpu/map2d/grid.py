@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ..core import se3
 from ..core.config import LegoLoamConfig
-from ..graph.keyframes import KeyframeStore
+from ..graph.keyframes import KeyframeStore, as_points
 
 Array = jax.Array
 
@@ -124,7 +124,7 @@ def build_occupancy_grid(store: KeyframeStore, center: Array,
     origin = center[:2] - 0.5 * g.max_cells * g.resolution
 
     poses = store.pose[sel]                          # (F, 6)
-    pts = store.scan2d[sel]                          # (F, S, 3)
+    pts = as_points(store.scan2d[sel])               # (F, S, 3)
     valid = store.scan2d_valid[sel] & sel_ok[:, None]
     world = jax.vmap(se3.apply)(poses, pts)          # (F, S, 3)
     origins = jnp.broadcast_to(poses[:, None, 3:6], world.shape)

@@ -152,11 +152,23 @@ def mapping_step(state: MappingState, assoc: AssociationOut,
             graph, fcount = add_factor(
                 graph, fcount, res["latest_idx"], res["old_idx"],
                 res["z"], w)
-            # correctPoses (:1481-1511): full re-solve + pose rewrite
+            # correctPoses (:1481-1511): full re-solve + pose rewrite.
+            # The stiff odometry chain vs soft loop factors puts the
+            # normal equations' condition ratio near 1e6 — block-Jacobi
+            # PCG needs hundreds of iterations to actually transmit a
+            # loop correction through a 400-node chain.
+            # Warm-started from the current poses the solve is
+            # incremental (iSAM2's role): 2-3 GN steps suffice, and the
+            # PCG's relative-tolerance exit keeps re-solves cheap.
+            old_latest = store.pose[res["latest_idx"]]
             new_poses = optimize_poses(store.pose, store.count, graph,
-                                       gn_iters=4, pcg_iters=48)
+                                       gn_iters=3, pcg_iters=384)
             store = store.replace(pose=new_poses)
-            aft = new_poses[res["latest_idx"]]
+            # carry the correction onto the CURRENT pose (which may be up
+            # to keyframe_distance ahead of the last keyframe)
+            corr = se3.compose(new_poses[res["latest_idx"]],
+                               se3.inverse(old_latest))
+            aft = se3.normalize_angles(se3.compose(corr, aft))
             return store, graph, fcount, aft
 
         return jax.lax.cond(res["found"], closed,

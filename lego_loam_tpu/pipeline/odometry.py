@@ -71,11 +71,14 @@ def odometry_step(state: OdometryState, proj: ProjectionOut,
         theta_star = two_step_odometry(
             state.transform_cur, feats.sharp, feats.flat,
             state.last_corner, state.last_surf, cfg)
-        # cross-frame under-relaxation (see FeatureConfig.odom_relax)
-        beta = cfg.feature.odom_relax
-        theta = state.transform_cur + beta * (theta_star
-                                              - state.transform_cur)
-        theta = se3.normalize_angles(theta)
+        # physical trust region + cross-frame under-relaxation
+        # (FeatureConfig.odom_max_delta_* / odom_relax)
+        f = cfg.feature
+        limit = jnp.asarray([f.odom_max_delta_rot] * 3
+                            + [f.odom_max_delta_trans] * 3, jnp.float32)
+        delta = jnp.clip(theta_star - state.transform_cur, -limit, limit)
+        theta = se3.normalize_angles(
+            state.transform_cur + f.odom_relax * delta)
         odom = se3.normalize_angles(se3.compose(state.odom, theta))
         return state.replace(
             transform_cur=theta,

@@ -83,14 +83,14 @@ def slam_step(state: SlamState, raw: RawScan, cfg: LegoLoamConfig):
 def replay(xyz: Array, valid: Array, times: Array, cfg: LegoLoamConfig):
     """Offline whole-sequence replay as one compiled ``lax.scan``.
 
-    Args: batched scans (N, P, 3) / (N, P) / (N,) from
-    ``io.npz_io.pack_sequence``.
+    Args: batched scans (N, P*3) / (N, P) / (N,) from
+    ``io.npz_io.pack_sequence`` (coordinates row-flattened — see there).
 
     Returns (final_state, outputs dict of (N, 6) pose arrays).
     """
     def step(state, inp):
         x, v, t = inp
-        raw = RawScan(xyz=x, valid=v, stamp=t)
+        raw = RawScan(xyz=x.reshape(-1, 3), valid=v, stamp=t)
         return slam_step(state, raw, cfg)
 
     return jax.lax.scan(step, init_state(cfg), (xyz, valid, times))

@@ -83,3 +83,46 @@ def test_feature_curvature_ordering(proj_out):
         j = int(np.argmin(d))
         assert d[j] < 1e-5
         assert c_flat[j] > CFG.feature.edge_threshold
+
+
+def test_suppression_prefix_sum_matches_walk(proj_out):
+    """The prefix-sum gap-break suppression must match the reference's
+    sequential ±5 walk exactly."""
+    import jax.numpy as jnp
+    from lego_loam_tpu.frontend.features import _gap_prefix
+
+    seg = proj_out.segmented
+    col = np.asarray(seg.col)
+    valid = np.asarray(seg.valid)
+    badcum = np.asarray(_gap_prefix(
+        jnp.asarray(col), jnp.asarray(valid), CFG.feature.occlusion_col_diff))
+    V, S = col.shape
+    rng = np.random.default_rng(0)
+    for _ in range(200):
+        v = rng.integers(0, V)
+        n = valid[v].sum()
+        if n < 12:
+            continue
+        idx = int(rng.integers(5, n - 6))
+
+        # oracle: the reference walk (featureAssociation.cpp:306-326)
+        walk = {idx}
+        for l in range(1, 6):
+            if idx + l >= S:
+                break
+            if abs(int(col[v, idx + l]) - int(col[v, idx + l - 1])) > 10:
+                break
+            walk.add(idx + l)
+        for l in range(1, 6):
+            if idx - l < 0:
+                break
+            if abs(int(col[v, idx - l]) - int(col[v, idx - l + 1])) > 10:
+                break
+            walk.add(idx - l)
+
+        pos = np.arange(S)
+        ours = set(np.nonzero(
+            (np.abs(pos - idx) <= 5) & (badcum[v] == badcum[v, idx])
+            & valid[v])[0].tolist())
+        walk = {p for p in walk if valid[v, p]}
+        assert ours == walk, (v, idx, sorted(ours ^ walk))

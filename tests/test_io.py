@@ -70,7 +70,8 @@ def test_checkpoint_roundtrip(tmp_path, small_sequence):
     from lego_loam_tpu.core.types import RawScan
     from lego_loam_tpu.pipeline.slam import slam_step
     xyz2, valid2, t2 = pack_sequence(scans[6:8], times[6:8], CFG)
-    raw = RawScan(xyz=xyz2[0], valid=valid2[0], stamp=t2[0])
+    raw = RawScan(xyz=xyz2[0].reshape(-1, 3), valid=valid2[0],
+                  stamp=t2[0])
     s_a, out_a = slam_step(state, raw, CFG)
     s_b, out_b = slam_step(restored, raw, CFG)
     np.testing.assert_array_equal(np.asarray(out_a["fused"]),
