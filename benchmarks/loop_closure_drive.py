@@ -1,0 +1,43 @@
+"""Loop-closure end-to-end drive (run on TPU)
+
+Usage: PYTHONPATH=. python benchmarks/loop_closure_drive.py  (TPU; one process at a time)
+"""
+import time
+import numpy as np
+import jax, jax.numpy as jnp
+print("backend:", jax.default_backend())
+
+from lego_loam_tpu.core import se3
+from lego_loam_tpu.core.config import vlp16
+from lego_loam_tpu.io.synthetic import make_sequence
+from lego_loam_tpu.io.npz_io import pack_sequence
+from lego_loam_tpu.pipeline.slam import replay
+from lego_loam_tpu.eval.metrics import ate
+
+cfg = vlp16()
+# one full lap = 2*pi*6.5/1.3 = 31.4 s > 30 s loop time gap
+n = 360
+scans, gt, times = make_sequence(n, cfg, seed=21, noise=0.01,
+                                 radius=6.5, speed=1.3)
+xyz, valid, t = pack_sequence(scans, times, cfg)
+t0 = time.time()
+final, outs = replay(xyz, valid, t, cfg)
+jax.block_until_ready(outs)
+print(f"compile+run: {time.time()-t0:.1f}s")
+t0 = time.time()
+final, outs = replay(xyz, valid, t, cfg)
+jax.block_until_ready(outs)
+dt = time.time() - t0
+print(f"steady: {n/dt:.1f} scans/s")
+
+kf = int(final.mapping.store.count)
+fc = int(final.mapping.factor_count)
+print(f"keyframes: {kf}  factors: {fc}  loop factors: {fc - (kf - 1)}")
+fused = np.asarray(outs["fused"])
+gt_j = jnp.asarray(gt)
+gt_rel = np.asarray(jax.vmap(lambda g: se3.relative(gt_j[0], g))(gt_j))
+m = ate(fused[:-1], gt_rel[1:len(fused)], align=False)
+print("full-run ATE:", {k: round(v, 3) for k, v in m.items()})
+# error at the end (post-revisit) vs mid-run
+err = np.linalg.norm(fused[:-1, 3:] - gt_rel[1:len(fused), 3:], axis=1)
+print(f"err@150: {err[150]:.3f}  err@300: {err[300]:.3f}  err@end: {err[-1]:.3f}")
