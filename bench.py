@@ -67,6 +67,13 @@ def main():
     jax.block_until_ready(outs)
     log(f"compile+first run: {time.time() - t0:.1f}s")
 
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    if profile_dir:
+        with jax.profiler.trace(profile_dir):
+            final_state, outs = replay(xyz, valid, t, cfg)
+            jax.block_until_ready(outs)
+        log(f"profiler trace written to {profile_dir}")
+
     t0 = time.time()
     final_state, outs = replay(xyz, valid, t, cfg)
     jax.block_until_ready(outs)

@@ -1,0 +1,57 @@
+"""HDL-64 (KITTI-geometry) full-pipeline drive (BASELINE.json config 4).
+
+Usage: python benchmarks/kitti64_drive.py   (TPU; one process at a time)
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lego_loam_tpu.core import se3
+from lego_loam_tpu.core.config import hdl64
+from lego_loam_tpu.eval.metrics import ate
+from lego_loam_tpu.io.npz_io import pack_sequence, save_sequence, load_sequence
+from lego_loam_tpu.io.synthetic import make_sequence
+from lego_loam_tpu.pipeline.slam import replay
+
+
+def main():
+    cfg = hdl64()
+    n = int(os.environ.get("N", "60"))
+    cache = f"/tmp/kitti64_{n}.npz"
+    if os.path.exists(cache):
+        scans, gt, times = load_sequence(cache)
+    else:
+        t0 = time.time()
+        scans, gt, times = make_sequence(n, cfg, seed=13, noise=0.01,
+                                         speed=2.0, radius=10.0)
+        print(f"generated {n} HDL-64 scans in {time.time()-t0:.0f}s")
+        save_sequence(cache, scans, gt, times)
+
+    xyz, valid, t = pack_sequence(scans, times, cfg)
+    xyz, valid, t = jax.device_put((xyz, valid, t))
+    t0 = time.time()
+    final, outs = replay(xyz, valid, t, cfg)
+    jax.block_until_ready(outs)
+    print(f"compile+run: {time.time()-t0:.0f}s")
+    t0 = time.time()
+    final, outs = replay(xyz, valid, t, cfg)
+    jax.block_until_ready(outs)
+    dt = time.time() - t0
+    print(f"steady: {n/dt:.1f} scans/s ({dt*1000/n:.1f} ms/scan)")
+
+    fused = np.asarray(outs["fused"])
+    gt_j = jnp.asarray(gt)
+    gt_rel = np.asarray(jax.vmap(lambda g: se3.relative(gt_j[0], g))(gt_j))
+    m = ate(fused[:-1], gt_rel[1:len(fused)], align=False)
+    print("ATE:", {k: round(v, 3) for k, v in m.items()})
+    print("keyframes:", int(final.mapping.store.count))
+
+
+if __name__ == "__main__":
+    main()

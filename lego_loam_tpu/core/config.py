@@ -227,7 +227,8 @@ def vlp16() -> LegoLoamConfig:
 
 
 def hdl64() -> LegoLoamConfig:
-    """KITTI HDL-64 configuration (BASELINE.json config 4)."""
+    """KITTI HDL-64 configuration (BASELINE.json config 4): 64×2083 range
+    image, feature capacities scaled 4× with the beam count."""
     return LegoLoamConfig(
         laser=LaserConfig(
             num_vertical_scans=64,
@@ -236,5 +237,11 @@ def hdl64() -> LegoLoamConfig:
             vertical_angle_bottom_deg=-24.8,
             vertical_angle_top_deg=2.0,
         ),
-        pipeline=PipelineConfig(max_points=140000, max_segmented=65536),
+        feature=FeatureConfig(
+            max_sharp=1024,          # 2·6·64 = 768
+            max_less_sharp=8192,     # 20·6·64 = 7680
+            max_flat=2048,           # 4·6·64 = 1536
+            max_less_flat=16384,     # 256 per ring post-downsample
+        ),
+        pipeline=PipelineConfig(max_points=140032, max_segmented=65536),
     )

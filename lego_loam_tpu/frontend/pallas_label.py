@@ -138,10 +138,16 @@ def propagate_labels_pallas(labels0: Array, right: Array, down: Array,
 
     kernel = functools.partial(_kernel, v=v, h=h, h_true=h_true,
                                max_sweeps=max_sweeps)
+    # Mosaic keeps the unrolled doubling temporaries live on the scoped
+    # vmem stack (~28 arrays); large images (HDL-64: 64×2176) need the
+    # limit raised above the 16 MB default.
+    vmem_bytes = v * h * 4 * 32
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((v, h), jnp.int32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=max(vmem_bytes, 32 * 1024 * 1024)),
     )(labels0, right, down, wrap)
     return out[:, :h_true]

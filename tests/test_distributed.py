@@ -42,13 +42,29 @@ def test_sharded_pgo_matches_single_device():
                                rtol=1e-4, atol=1e-4)
 
 
-def test_replay_sharded_matches_single(small_sequence, cfg):
+def test_replay_sharded_matches_single():
+    import dataclasses
+
+    from lego_loam_tpu.core.config import (FeatureConfig, LaserConfig,
+                                           LegoLoamConfig, MappingConfig,
+                                           PipelineConfig)
     from lego_loam_tpu.io.npz_io import pack_sequence
+    from lego_loam_tpu.io.synthetic import make_sequence
     from lego_loam_tpu.pipeline.slam import replay
 
-    scans, gt, times = small_sequence
-    scans = scans[:6]
-    times = times[:6]
+    # shrunken geometry: this checks sharding semantics, not kernels
+    cfg = LegoLoamConfig(
+        laser=LaserConfig(num_horizontal_scans=360),
+        feature=FeatureConfig(max_sharp=64, max_less_sharp=512,
+                              max_flat=128, max_less_flat=2048,
+                              odom_surf_iters=5, odom_corner_iters=5),
+        mapping=MappingConfig(max_map_corner=4096, max_map_surf=8192,
+                              max_keyframes=64, scan2map_iters=2,
+                              surrounding_keyframe_search_num=4,
+                              enable_loop_closure=False),
+        pipeline=PipelineConfig(max_points=8192, max_segmented=4096),
+    )
+    scans, gt, times = make_sequence(6, cfg, seed=1, noise=0.01)
     xyz, valid, t = pack_sequence(scans, times, cfg)
 
     ref_state, ref_out = replay(xyz, valid, t, cfg)
