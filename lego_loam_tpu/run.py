@@ -27,7 +27,12 @@ import numpy as np
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--input", help=".npz sequence (io.npz_io format)")
+    ap.add_argument("--input",
+                    help=".npz sequence (io.npz_io format) or ROS1 .bag "
+                         "of sensor_msgs/PointCloud2")
+    ap.add_argument("--topic", default=None,
+                    help="PointCloud2 topic for .bag input (default: any; "
+                         "the reference's lidar_topic param, main.cpp:21)")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="generate N synthetic scans instead of --input")
     ap.add_argument("--output", default="artifacts",
@@ -60,6 +65,9 @@ def main(argv=None):
         from .io.synthetic import make_sequence
         scans, gt, times = make_sequence(args.synthetic, cfg,
                                          seed=args.seed, noise=0.01)
+    elif args.input and args.input.endswith(".bag"):
+        from .io.rosbag import load_bag
+        scans, gt, times = load_bag(args.input, topic=args.topic)
     elif args.input:
         scans, gt, times = load_sequence(args.input)
     else:
