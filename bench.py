@@ -74,13 +74,24 @@ def main():
             jax.block_until_ready(outs)
         log(f"profiler trace written to {profile_dir}")
 
-    t0 = time.time()
-    final_state, outs = replay(xyz, valid, t, cfg)
-    jax.block_until_ready(outs)
-    dt = time.time() - t0
+    # Time several runs, each with a distinct (work-neutral) input
+    # perturbation, and sync via a device→host transfer:
+    # jax.block_until_ready can return at ENQUEUE time on the axon
+    # tunnel backend, which reads as a bogus ~0 ms/scan; np.asarray of an
+    # output cannot complete before the computation truly finished.
+    dts = []
+    for i in range(3):
+        xyz_i = xyz.at[0, 0].add(1e-6 * (i + 1))
+        np.asarray(xyz_i[0, :2])
+        t0 = time.time()
+        final_state, outs = replay(xyz_i, valid, t, cfg)
+        np.asarray(outs["fused"][-1])
+        dts.append(time.time() - t0)
+    dt = sorted(dts)[1]
     scans_per_sec = n_scans / dt
     log(f"single-stream: {scans_per_sec:.1f} scans/s "
-        f"({dt * 1000 / n_scans:.1f} ms/scan)")
+        f"({dt * 1000 / n_scans:.1f} ms/scan; runs "
+        f"{[round(x, 4) for x in dts]})")
 
     if n_streams > 1:
         # batched multi-session throughput (chip utilisation mode): B
@@ -92,10 +103,12 @@ def main():
             bt = jnp.broadcast_to(t[None], (n_streams,) + t.shape)
             log(f"compiling {n_streams}-stream batched replay…")
             _, bouts = batched_replay(bx, bv, bt, cfg)
-            jax.block_until_ready(bouts)
+            np.asarray(bouts["fused"][-1][-1])
+            bx = bx.at[0, 0, 0].add(1e-6)
+            np.asarray(bx[0, 0, :2])
             t0 = time.time()
             _, bouts = batched_replay(bx, bv, bt, cfg)
-            jax.block_until_ready(bouts)
+            np.asarray(bouts["fused"][-1][-1])
             bdt = time.time() - t0
             batched_rate = n_streams * n_scans / bdt
             log(f"{n_streams}-stream batched: {batched_rate:.1f} scans/s "

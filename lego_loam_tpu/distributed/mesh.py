@@ -18,7 +18,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.config import LegoLoamConfig
 from ..core.types import RawScan
-from ..pipeline.slam import init_state, slam_step
+from ..pipeline.slam import init_state, slam_step_impl
 
 
 def make_mesh(n_devices: Optional[int] = None,
@@ -49,7 +49,7 @@ def replay_sharded(xyz: jax.Array, valid: jax.Array, times: jax.Array,
     def one_sequence(x, v, t):
         def step(state, inp):
             xs, vs, ts = inp
-            return slam_step(
+            return slam_step_impl(
                 state,
                 RawScan(xyz=xs.reshape(-1, 3), valid=vs, stamp=ts), cfg)
         return jax.lax.scan(step, init_state(cfg), (x, v, t))

@@ -15,6 +15,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..core.config import LegoLoamConfig
@@ -23,7 +24,7 @@ from ..match.voxelhash import voxel_downsample_with_payload
 
 Array = jax.Array
 
-_BIG = jnp.float32(1e18)
+_BIG = np.float32(1e18)
 
 
 def compute_curvature(seg: SegmentedCloud) -> Array:
@@ -122,20 +123,24 @@ def _greedy_pick(score: Array, eligible0: Array, picked0: Array,
 
 def _gather_features(seg: SegmentedCloud, mask: Array, capacity: int,
                      rings: Array) -> FeatureCloud:
-    """Compact a (V,S) selection mask into a fixed-capacity FeatureCloud."""
-    V, S = mask.shape
+    """Compact a (V,S) selection mask into a fixed-capacity FeatureCloud.
+
+    One packed scatter (xyz+ring+rel as 5 channels) instead of a full
+    argsort plus three gathers — TPU scatters pay per index, not per
+    channel."""
     flat = mask.reshape(-1)
-    order = jnp.argsort(~flat, stable=True)[:capacity]
+    pos = jnp.cumsum(flat) - 1
+    dest = jnp.where(flat & (pos < capacity), pos, capacity)
+    payload = jnp.concatenate(
+        [seg.xyz.reshape(-1, 3),
+         rings.reshape(-1, 1).astype(jnp.float32),
+         seg.rel_time.reshape(-1, 1)], axis=1)              # (VS, 5)
+    out = jnp.zeros((capacity, 5), jnp.float32).at[dest].set(
+        payload, mode="drop", unique_indices=True)
     n = jnp.sum(flat)
     valid = jnp.arange(capacity) < n
-    xyz = seg.xyz.reshape(-1, 3)[order]
-    ring = rings.reshape(-1)[order].astype(jnp.float32)
-    rel = seg.rel_time.reshape(-1)[order]
     return FeatureCloud(
-        xyz=jnp.where(valid[:, None], xyz, 0.0),
-        ring=jnp.where(valid, ring, 0.0),
-        rel_time=jnp.where(valid, rel, 0.0),
-        valid=valid)
+        xyz=out[:, :3], ring=out[:, 3], rel_time=out[:, 4], valid=valid)
 
 
 @functools.partial(jax.jit, static_argnames="cfg")

@@ -15,6 +15,7 @@ import functools
 import math
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..core.config import LegoLoamConfig
@@ -22,7 +23,7 @@ from ..core.types import RangeImage, RawScan
 
 Array = jax.Array
 
-_INF = jnp.float32(jnp.inf)
+_INF = np.float32(np.inf)
 
 
 def _start_end_orientation(raw: RawScan):
@@ -70,18 +71,28 @@ def project_scan(raw: RawScan, cfg: LegoLoamConfig) -> RangeImage:
           & (rng >= laser.min_range) & jnp.isfinite(rng))
     flat = jnp.where(ok, row * H + col, V * H)          # V*H ⇒ dropped
 
-    # pass 1: min range per pixel
-    rng_img = jnp.full((V * H,), _INF, jnp.float32).at[flat].min(
-        jnp.where(ok, rng, _INF), mode="drop")
-    # pass 2: winning point id (min id among range-ties)
-    is_winner = ok & (rng == rng_img[jnp.clip(flat, 0, V * H - 1)])
-    pid = jnp.where(is_winner, jnp.arange(P, dtype=jnp.int32), P)
-    pid_img = jnp.full((V * H,), P, jnp.int32).at[
-        jnp.where(is_winner, flat, V * H)].min(pid, mode="drop")
+    # ONE scatter-min resolves the winner per pixel: the key packs
+    # (quantized range, point id) so min-key == (min range, then min id).
+    # TPU scatters serialize on the scalar core (~0.25 ms each at this
+    # size), so fusing the reference's per-point write loop into a single
+    # packed scatter is the difference between 1 and 3+ hot ops per scan.
+    pid_bits = max(15, (P - 1).bit_length())
+    rng_bits = 31 - pid_bits                 # 16 bits ⇒ 2 mm steps to 131 m
+    scale = (2 ** rng_bits - 1) / 131.072
+    q = jnp.clip((rng * scale).astype(jnp.int32), 0, 2 ** rng_bits - 1)
+    sentinel = jnp.int32(2 ** 31 - 1)
+    pid = jnp.arange(P, dtype=jnp.int32)
+    key = jnp.where(ok, (q << pid_bits) | pid, sentinel)
+    key_img = jnp.full((V * H,), sentinel, jnp.int32).at[flat].min(
+        key, mode="drop")
 
-    valid_img = pid_img < P
+    valid_img = key_img != sentinel
+    pid_img = key_img & (2 ** pid_bits - 1)
     xyz_img = jnp.where(valid_img[:, None],
                         xyz[jnp.clip(pid_img, 0, P - 1)], 0.0)
+    # exact range of the winning point (recomputed, not dequantized)
+    rng_img = jnp.where(valid_img,
+                        jnp.linalg.norm(xyz_img, axis=-1), _INF)
 
     rng_img = rng_img.reshape(V, H)
     valid_img = valid_img.reshape(V, H)

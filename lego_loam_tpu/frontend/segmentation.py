@@ -23,6 +23,7 @@ import functools
 import math
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..core.config import LegoLoamConfig
@@ -30,7 +31,7 @@ from ..core.types import ProjectionOut, RangeImage, RawScan, SegmentedCloud
 
 Array = jax.Array
 
-_SENTINEL = jnp.int32(2 ** 30)
+_SENTINEL = np.int32(2 ** 30)
 
 
 def _edge_masks(img: RangeImage, cfg: LegoLoamConfig):
@@ -147,12 +148,17 @@ def segment_validity(labels: Array, segmentable: Array,
     n = V * H
     seg_id = jnp.where(segmentable, labels, n).reshape(-1)
     ones = segmentable.astype(jnp.int32).reshape(-1)
-    sizes = jax.ops.segment_sum(ones, seg_id, num_segments=n + 1)
 
+    # ONE scatter-add accumulates [count | per-row histogram] together —
+    # TPU scatters serialize per index, so width is nearly free but each
+    # separate scatter op costs ~0.25 ms at this size.
     rows = jax.lax.broadcasted_iota(jnp.int32, (V, H), 0).reshape(-1)
     row_onehot = jax.nn.one_hot(rows, V, dtype=jnp.int32)
-    per_row = jax.ops.segment_sum(row_onehot, seg_id, num_segments=n + 1)
-    lines = jnp.sum(per_row > 0, axis=-1)
+    payload = jnp.concatenate([ones[:, None], row_onehot * ones[:, None]],
+                              axis=1)                       # (VH, V+1)
+    acc = jax.ops.segment_sum(payload, seg_id, num_segments=n + 1)
+    sizes = acc[:, 0]
+    lines = jnp.sum(acc[:, 1:] > 0, axis=-1)
 
     p = cfg.projection
     ok = (sizes >= p.segment_min_point_num) | (
@@ -174,17 +180,40 @@ def _relative_time(img: RangeImage) -> Array:
 
 def _compact_rows(include: Array, fields: dict, capacity: int):
     """Left-compact each row of (V,H) arrays by ``include``, preserving
-    column order.  Returns compacted fields + per-row counts."""
-    order = jnp.argsort(~include, axis=1, stable=True)      # (V,H)
+    column order.  Returns compacted fields + per-row counts.
+
+    All fields are packed into one (VH, C) payload and moved with a SINGLE
+    scatter (destination = row·capacity + per-row rank): TPU scatters pay
+    per index, not per channel, so this replaces an argsort plus one gather
+    per field."""
+    V, H = include.shape
     count = jnp.sum(include, axis=1).astype(jnp.int32)
-    out = {}
+    pos = jnp.cumsum(include, axis=1) - 1                   # per-row rank
+    rows = jax.lax.broadcasted_iota(jnp.int32, (V, H), 0)
+    dest = jnp.where(include & (pos < capacity),
+                     rows * capacity + pos, V * capacity)   # ⇒ dropped
+
+    packed, splits, shapes = [], [], {}
     for k, v in fields.items():
-        g = jnp.take_along_axis(
-            v, order.reshape(order.shape + (1,) * (v.ndim - 2))
-            if v.ndim > 2 else order, axis=1)
-        out[k] = g[:, :capacity]
-    pos = jax.lax.broadcasted_iota(jnp.int32, include.shape, 1)[:, :capacity]
-    valid = pos < count[:, None]
+        flat = v.reshape(V * H, -1).astype(jnp.float32)
+        shapes[k] = (v.dtype, v.shape[2:] if v.ndim > 2 else ())
+        splits.append(flat.shape[1])
+        packed.append(flat)
+    payload = jnp.concatenate(packed, axis=1)               # (VH, C)
+    gathered = jnp.zeros((V * capacity, payload.shape[1]), jnp.float32
+                         ).at[dest.reshape(-1)].set(
+        payload, mode="drop", unique_indices=True)
+    gathered = gathered.reshape(V, capacity, -1)
+
+    out, off = {}, 0
+    for k, w in zip(fields.keys(), splits):
+        dtype, tail = shapes[k]
+        g = gathered[:, :, off:off + w]
+        out[k] = (g.reshape((V, capacity) + tail) if tail
+                  else g[:, :, 0]).astype(dtype)
+        off += w
+    pos_c = jax.lax.broadcasted_iota(jnp.int32, (V, capacity), 1)
+    valid = pos_c < count[:, None]
     return out, count, valid
 
 
@@ -223,11 +252,13 @@ def segment_cloud(img: RangeImage, raw_stamp: Array,
         is_ground=fields["ground"], valid=valid, count=count,
         rel_time=fields["rel"])
 
-    # outliers: flatten and compact to fixed capacity
+    # outliers: flatten and compact to fixed capacity (single scatter)
     O = cfg.pipeline.max_outlier
     flat_out = outlier_px.reshape(-1)
-    order = jnp.argsort(~flat_out, stable=True)[:O]
-    out_xyz = img.xyz.reshape(-1, 3)[order]
+    opos = jnp.cumsum(flat_out) - 1
+    odest = jnp.where(flat_out & (opos < O), opos, O)
+    out_xyz = jnp.zeros((O, 3), jnp.float32).at[odest].set(
+        img.xyz.reshape(-1, 3), mode="drop", unique_indices=True)
     out_valid = (jnp.arange(O) < jnp.sum(flat_out))
 
     scan2d_xyz, scan2d_valid = virtual_scan_2d(img, cfg)

@@ -30,15 +30,20 @@ SCAN2D_CAP = 512
 
 
 @struct.dataclass
-class KeyframeStore:
-    """Cloud blocks are stored ROW-FLATTENED (K, C*3): a (K, C, 3) device
-    array gets its minor dim tile-padded 3→128 on TPU (42× HBM — ~8.5 GB
-    at full capacity).  Use :func:`as_points` to view a gathered row as
-    (…, C, 3)."""
+class KeyframeClouds:
+    """The BIG per-keyframe cloud blocks (~170 MB at full capacity).
 
-    pose: Array          # (K, 6) map-frame keyframe poses
-    stamp: Array         # (K,)
-    count: Array         # ()  int32
+    Kept separate from the pose/stamp metadata so the pipeline can thread
+    them through ``lax.scan`` as in-place row-scatter updates only — if
+    they appear as ``lax.cond`` *outputs* (the reference-cadence "run
+    mapping every 5th scan" branch), XLA materialises a full copy of every
+    array on every scan (~100 MB × 2 a scan ≈ 1 ms of pure HBM traffic).
+    As cond *operands* (read-only) they are free.
+
+    Cloud blocks are stored ROW-FLATTENED (K, C*3): a (K, C, 3) device
+    array gets its minor dim tile-padded 3→128 on TPU (42× HBM).  Use
+    :func:`as_points` to view a gathered row as (…, C, 3)."""
+
     corner: Array        # (K, CORNER_CAP*3)  sensor frame
     corner_valid: Array  # (K, CORNER_CAP)
     surf: Array          # (K, SURF_CAP*3)    (surf + outlier separate)
@@ -47,6 +52,71 @@ class KeyframeStore:
     outlier_valid: Array
     scan2d: Array        # (K, SCAN2D_CAP*3)  sensor frame (z≈chest)
     scan2d_valid: Array
+
+    @property
+    def capacity(self) -> int:
+        return self.corner.shape[0]
+
+
+@struct.dataclass
+class KeyframeRow:
+    """One keyframe's cloud payload + destination row (~67 KB) — the only
+    cloud data that may cross a ``lax.cond`` boundary.  ``idx == capacity``
+    means "write nothing" (scatter mode='drop')."""
+
+    idx: Array           # () int32, == capacity ⇒ dropped
+    corner: Array        # (CORNER_CAP*3,)
+    corner_valid: Array
+    surf: Array
+    surf_valid: Array
+    outlier: Array
+    outlier_valid: Array
+    scan2d: Array
+    scan2d_valid: Array
+
+
+@struct.dataclass
+class KeyframeStore:
+    """Pose/stamp metadata + a :class:`KeyframeClouds` — the read view the
+    submap/loop/grid code consumes."""
+
+    pose: Array          # (K, 6) map-frame keyframe poses
+    stamp: Array         # (K,)
+    count: Array         # ()  int32
+    clouds: KeyframeClouds
+
+    # field passthroughs so call sites read store.corner etc. directly
+    @property
+    def corner(self) -> Array:
+        return self.clouds.corner
+
+    @property
+    def corner_valid(self) -> Array:
+        return self.clouds.corner_valid
+
+    @property
+    def surf(self) -> Array:
+        return self.clouds.surf
+
+    @property
+    def surf_valid(self) -> Array:
+        return self.clouds.surf_valid
+
+    @property
+    def outlier(self) -> Array:
+        return self.clouds.outlier
+
+    @property
+    def outlier_valid(self) -> Array:
+        return self.clouds.outlier_valid
+
+    @property
+    def scan2d(self) -> Array:
+        return self.clouds.scan2d
+
+    @property
+    def scan2d_valid(self) -> Array:
+        return self.clouds.scan2d_valid
 
     @property
     def capacity(self) -> int:
@@ -63,12 +133,10 @@ def as_flat(pts: Array) -> Array:
     return pts.reshape(pts.shape[:-2] + (-1,))
 
 
-def empty_store(cfg: LegoLoamConfig) -> KeyframeStore:
+def empty_clouds(cfg: LegoLoamConfig) -> KeyframeClouds:
     K = cfg.mapping.max_keyframes
     z = jnp.zeros
-    return KeyframeStore(
-        pose=z((K, 6), jnp.float32), stamp=z((K,), jnp.float32),
-        count=jnp.int32(0),
+    return KeyframeClouds(
         corner=z((K, CORNER_CAP * 3), jnp.float32),
         corner_valid=z((K, CORNER_CAP), bool),
         surf=z((K, SURF_CAP * 3), jnp.float32),
@@ -79,35 +147,76 @@ def empty_store(cfg: LegoLoamConfig) -> KeyframeStore:
         scan2d_valid=z((K, SCAN2D_CAP), bool))
 
 
+def empty_store(cfg: LegoLoamConfig) -> KeyframeStore:
+    K = cfg.mapping.max_keyframes
+    z = jnp.zeros
+    return KeyframeStore(
+        pose=z((K, 6), jnp.float32), stamp=z((K,), jnp.float32),
+        count=jnp.int32(0), clouds=empty_clouds(cfg))
+
+
+def make_row(idx: Array,
+             corner: Array, corner_valid: Array,
+             surf: Array, surf_valid: Array,
+             outlier: Array, outlier_valid: Array,
+             scan2d: Array, scan2d_valid: Array) -> KeyframeRow:
+    """Pack one keyframe's clouds (each (C, 3)) into a scatter payload."""
+    return KeyframeRow(
+        idx=idx,
+        corner=as_flat(corner), corner_valid=corner_valid,
+        surf=as_flat(surf), surf_valid=surf_valid,
+        outlier=as_flat(outlier), outlier_valid=outlier_valid,
+        scan2d=as_flat(scan2d), scan2d_valid=scan2d_valid)
+
+
+def null_row(capacity: int) -> KeyframeRow:
+    """A row whose scatter is dropped (idx == capacity ⇒ out of bounds)."""
+    z = jnp.zeros
+    return KeyframeRow(
+        idx=jnp.int32(capacity),
+        corner=z((CORNER_CAP * 3,), jnp.float32),
+        corner_valid=z((CORNER_CAP,), bool),
+        surf=z((SURF_CAP * 3,), jnp.float32),
+        surf_valid=z((SURF_CAP,), bool),
+        outlier=z((OUTLIER_CAP * 3,), jnp.float32),
+        outlier_valid=z((OUTLIER_CAP,), bool),
+        scan2d=z((SCAN2D_CAP * 3,), jnp.float32),
+        scan2d_valid=z((SCAN2D_CAP,), bool))
+
+
+def apply_row(clouds: KeyframeClouds, row: KeyframeRow) -> KeyframeClouds:
+    """UNCONDITIONAL row scatter (out-of-bounds idx drops) — this is the
+    only way keyframe clouds are ever written, so the big arrays never
+    cross a ``lax.cond`` output boundary (see :class:`KeyframeClouds`)."""
+    s = lambda arr, val: arr.at[row.idx].set(val, mode="drop",
+                                             unique_indices=True)
+    return clouds.replace(
+        corner=s(clouds.corner, row.corner),
+        corner_valid=s(clouds.corner_valid, row.corner_valid),
+        surf=s(clouds.surf, row.surf),
+        surf_valid=s(clouds.surf_valid, row.surf_valid),
+        outlier=s(clouds.outlier, row.outlier),
+        outlier_valid=s(clouds.outlier_valid, row.outlier_valid),
+        scan2d=s(clouds.scan2d, row.scan2d),
+        scan2d_valid=s(clouds.scan2d_valid, row.scan2d_valid))
+
+
 def insert_keyframe(store: KeyframeStore, pose: Array, stamp: Array,
                     corner: Array, corner_valid: Array,
                     surf: Array, surf_valid: Array,
                     outlier: Array, outlier_valid: Array,
                     scan2d: Array, scan2d_valid: Array) -> KeyframeStore:
-    """Append at position ``count`` (no-op when full)."""
-    corner = as_flat(corner)
-    surf = as_flat(surf)
-    outlier = as_flat(outlier)
-    scan2d = as_flat(scan2d)
-    i = jnp.minimum(store.count, store.capacity - 1)
-    full = store.count >= store.capacity
-    sel = lambda new, old: jax.lax.cond(full, lambda: old, lambda: new)
+    """Append at position ``count`` (no-op when full) — offline/test
+    convenience; the pipeline uses :func:`make_row`/:func:`apply_row`."""
+    ok = store.count < store.capacity
+    idx = jnp.where(ok, store.count, store.capacity)
+    row = make_row(idx, corner, corner_valid, surf, surf_valid,
+                   outlier, outlier_valid, scan2d, scan2d_valid)
     return store.replace(
-        pose=sel(store.pose.at[i].set(pose), store.pose),
-        stamp=sel(store.stamp.at[i].set(stamp), store.stamp),
-        corner=sel(store.corner.at[i].set(corner), store.corner),
-        corner_valid=sel(store.corner_valid.at[i].set(corner_valid),
-                         store.corner_valid),
-        surf=sel(store.surf.at[i].set(surf), store.surf),
-        surf_valid=sel(store.surf_valid.at[i].set(surf_valid),
-                       store.surf_valid),
-        outlier=sel(store.outlier.at[i].set(outlier), store.outlier),
-        outlier_valid=sel(store.outlier_valid.at[i].set(outlier_valid),
-                          store.outlier_valid),
-        scan2d=sel(store.scan2d.at[i].set(scan2d), store.scan2d),
-        scan2d_valid=sel(store.scan2d_valid.at[i].set(scan2d_valid),
-                         store.scan2d_valid),
-        count=sel(store.count + 1, store.count))
+        pose=store.pose.at[idx].set(pose, mode="drop"),
+        stamp=store.stamp.at[idx].set(stamp, mode="drop"),
+        count=store.count + ok.astype(jnp.int32),
+        clouds=apply_row(store.clouds, row))
 
 
 def _transform_block(pose: Array, pts: Array, valid: Array):

@@ -67,13 +67,24 @@ def _gather_history(store: KeyframeStore, center: Array,
                             m.outlier_leaf_size, m.loop_history_cap)
 
 
-def _gather_latest(store: KeyframeStore, idx: Array, source_cap: int):
-    """Latest keyframe's corner+surf cloud in world frame (:729-738)."""
+def _gather_latest(store: KeyframeStore, row, idx: Array,
+                   source_cap: int):
+    """Latest keyframe's corner+surf cloud in world frame (:729-738).
+
+    ``row`` is the keyframe inserted THIS mapping cycle, which is not yet
+    scattered into the cloud blocks (see ``pipeline/mapping``): when it is
+    the latest keyframe (idx == row.idx) its payload is used directly."""
     pose = store.pose[idx]
     pts = jnp.concatenate([as_points(store.corner[idx]),
                            as_points(store.surf[idx])], axis=0)
     valid = jnp.concatenate([store.corner_valid[idx],
                              store.surf_valid[idx]], axis=0)
+    if row is not None:
+        use_row = idx == row.idx
+        pts = jnp.where(use_row, jnp.concatenate(
+            [as_points(row.corner), as_points(row.surf)], axis=0), pts)
+        valid = jnp.where(use_row, jnp.concatenate(
+            [row.corner_valid, row.surf_valid], axis=0), valid)
     world = jnp.where(valid[:, None], se3.apply(pose, pts), 0.0)
     pad = source_cap - world.shape[0]
     if pad > 0:
@@ -83,7 +94,7 @@ def _gather_latest(store: KeyframeStore, idx: Array, source_cap: int):
 
 
 @functools.partial(jax.jit, static_argnames="cfg")
-def detect_and_verify(store: KeyframeStore, cur_stamp: Array,
+def detect_and_verify(store: KeyframeStore, row, cur_stamp: Array,
                       cfg: LegoLoamConfig):
     """Full loop-closure attempt for the latest keyframe.
 
@@ -100,7 +111,8 @@ def detect_and_verify(store: KeyframeStore, cur_stamp: Array,
 
     def attempt():
         tgt, tgt_valid = _gather_history(store, old_idx, cfg)
-        src, src_valid = _gather_latest(store, latest, m.loop_source_cap)
+        src, src_valid = _gather_latest(store, row, latest,
+                                        m.loop_source_cap)
         corr, fitness, n_corr = icp_align(
             src, src_valid, tgt, tgt_valid,
             max_iters=m.icp_max_iters,

@@ -11,11 +11,12 @@ to +inf before the argmin.
 from __future__ import annotations
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 Array = jax.Array
 
-_INF = jnp.float32(3e38)
+_INF = np.float32(3e38)
 
 
 def pairwise_sqdist(a: Array, b: Array) -> Array:

@@ -1,14 +1,22 @@
 """Stage 3 — map optimization pipeline step.
 
 The ``MapOptimization::run`` loop body (``mapOptmization.cpp:1521-1570``)
-as one pure jittable function over an explicit ``MappingState``: pose
-prediction from the latest odometry + mapping correction, submap assembly,
-scan-to-map GN, keyframe insertion.  Loop closure and the pose-graph solve
-live in ``loop/`` and ``graph/posegraph.py``; without closures the iSAM2
-chain (prior + between factors only) has the composed odometry as its
-exact solution (``saveKeyFramesAndFactor``, :1335-1478), so keyframe poses
-here come straight from scan-to-map — matching the reference's output
-semantics bit-for-purpose.
+as one pure jittable function: pose prediction from the latest odometry +
+mapping correction, submap assembly, scan-to-map GN, keyframe insertion.
+Loop closure and the pose-graph solve live in ``loop/`` and
+``graph/posegraph.py``; without closures the iSAM2 chain (prior + between
+factors only) has the composed odometry as its exact solution
+(``saveKeyFramesAndFactor``, :1335-1478), so keyframe poses here come
+straight from scan-to-map — matching the reference's output semantics
+bit-for-purpose.
+
+State is split TPU-consciously: :class:`MappingMeta` (poses, graph,
+~200 KB) is what crosses the run-mapping ``lax.cond`` in ``pipeline/slam``;
+the big :class:`KeyframeClouds` blocks are a read-only cond *operand*, and
+the single inserted row comes back as a :class:`KeyframeRow` that the
+caller scatters in unconditionally (``apply_row``).  If the clouds were
+cond outputs, XLA would materialise a full copy of every block on every
+scan (~100 MB × 2 ≈ 1 ms of pure HBM traffic at VLP-16 capacities).
 
 Stage 4 (TransformFusion, ``transformFusion.cpp``) collapses to
 :func:`fuse_pose` — one closed-form composition at odometry rate.
@@ -16,7 +24,6 @@ Stage 4 (TransformFusion, ``transformFusion.cpp``) collapses to
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -26,8 +33,8 @@ from ..core import se3
 from ..core.config import LegoLoamConfig
 from ..core.types import AssociationOut
 from ..graph.keyframes import (CORNER_CAP, OUTLIER_CAP, SCAN2D_CAP,
-                               SURF_CAP, KeyframeStore, assemble_submap,
-                               empty_store, insert_keyframe)
+                               SURF_CAP, KeyframeClouds, KeyframeStore,
+                               assemble_submap, empty_clouds, make_row)
 from ..graph.posegraph import (FactorGraph, add_factor, empty_graph,
                                optimize_poses)
 from ..loop.detect import detect_and_verify
@@ -38,8 +45,12 @@ Array = jax.Array
 
 
 @struct.dataclass
-class MappingState:
-    store: KeyframeStore
+class MappingMeta:
+    """Everything in the mapping state EXCEPT the keyframe cloud blocks."""
+
+    kf_pose: Array         # (K, 6) map-frame keyframe poses
+    kf_stamp: Array        # (K,)
+    kf_count: Array        # () int32
     graph: FactorGraph
     factor_count: Array    # () int32
     cycle: Array           # () int32 mapping cycles run (loop cadence)
@@ -48,38 +59,70 @@ class MappingState:
     initialized: Array     # () bool
 
 
+@struct.dataclass
+class MappingState:
+    meta: MappingMeta
+    clouds: KeyframeClouds
+
+    @property
+    def store(self) -> KeyframeStore:
+        return KeyframeStore(pose=self.meta.kf_pose,
+                             stamp=self.meta.kf_stamp,
+                             count=self.meta.kf_count, clouds=self.clouds)
+
+    @property
+    def graph(self) -> FactorGraph:
+        return self.meta.graph
+
+    @property
+    def factor_count(self) -> Array:
+        return self.meta.factor_count
+
+    @property
+    def aft_mapped(self) -> Array:
+        return self.meta.aft_mapped
+
+
 def init_state(cfg: LegoLoamConfig) -> MappingState:
     m = cfg.mapping
-    return MappingState(
-        store=empty_store(cfg),
-        graph=empty_graph(m.max_keyframes + m.max_loop_factors),
+    K = m.max_keyframes
+    meta = MappingMeta(
+        kf_pose=jnp.zeros((K, 6), jnp.float32),
+        kf_stamp=jnp.zeros((K,), jnp.float32),
+        kf_count=jnp.int32(0),
+        graph=empty_graph(K + m.max_loop_factors),
         factor_count=jnp.int32(0),
         cycle=jnp.int32(0),
         aft_mapped=jnp.zeros((6,), jnp.float32),
         bef_mapped=jnp.zeros((6,), jnp.float32),
         initialized=jnp.bool_(False))
+    return MappingState(meta=meta, clouds=empty_clouds(cfg))
 
 
-def predict_pose(state: MappingState, odom: Array) -> Array:
+def predict_pose(meta: MappingMeta, odom: Array) -> Array:
     """``transformAssociateToMap`` (``mapOptmization.cpp:264-387``) in one
     line of SE(3): carry the last mapping correction forward."""
     return se3.normalize_angles(
-        se3.compose(state.aft_mapped, se3.relative(state.bef_mapped, odom)))
+        se3.compose(meta.aft_mapped, se3.relative(meta.bef_mapped, odom)))
 
 
 def fuse_pose(state: MappingState, odom: Array) -> Array:
     """Stage 4, ``TransformFusion::transformAssociateToMap``
     (``transformFusion.cpp:64-185``): drift-corrected pose at odometry
     rate."""
-    return predict_pose(state, odom)
+    return predict_pose(state.meta, odom)
 
 
-@functools.partial(jax.jit, static_argnames="cfg")
-def mapping_step(state: MappingState, assoc: AssociationOut,
-                 cfg: LegoLoamConfig):
-    """One mapping cycle.  Returns (new_state, mapped_pose (6,))."""
+def mapping_step(meta: MappingMeta, clouds: KeyframeClouds,
+                 assoc: AssociationOut, cfg: LegoLoamConfig):
+    """One mapping cycle.
+
+    ``clouds`` is read-only; the (possibly dropped) inserted keyframe row
+    comes back for the caller to ``apply_row``.  Returns
+    (new_meta, KeyframeRow, mapped_pose (6,)).
+    """
     m = cfg.mapping
-    pred = predict_pose(state, assoc.odom)
+    pred = predict_pose(meta, assoc.odom)
 
     # downsampleCurrentScan (:999-1026)
     corner_ds, corner_ok = voxel_downsample(
@@ -98,55 +141,59 @@ def mapping_step(state: MappingState, assoc: AssociationOut,
     scan2d_ds, scan2d_ok = voxel_downsample(
         assoc.scan2d_xyz, assoc.scan2d_valid, 0.1, SCAN2D_CAP)
 
+    store = KeyframeStore(pose=meta.kf_pose, stamp=meta.kf_stamp,
+                          count=meta.kf_count, clouds=clouds)
     corner_map, surf_map = assemble_submap(
-        state.store, pred, cfg, window=m.surrounding_keyframe_search_num)
+        store, pred, cfg, window=m.surrounding_keyframe_search_num)
 
     pose = scan_to_map(pred, corner_ds, corner_ok, surf_total,
                        surf_total_ok, corner_map, surf_map, cfg)
     pose = se3.normalize_angles(pose)
 
     # saveKeyFramesAndFactor (:1335-1478): keyframe iff moved ≥ 0.3 m
-    last_i = jnp.maximum(state.store.count - 1, 0)
-    last_kf = state.store.pose[last_i]
+    K = clouds.capacity
+    last_i = jnp.maximum(meta.kf_count - 1, 0)
+    last_kf = meta.kf_pose[last_i]
     moved = jnp.linalg.norm(pose[3:] - last_kf[3:])
-    is_kf = (~state.initialized) | (moved >= m.keyframe_distance)
+    is_kf = (~meta.initialized) | (moved >= m.keyframe_distance)
+    insert = is_kf & (meta.kf_count < K)
+
+    idx = jnp.where(insert, meta.kf_count, K)        # K ⇒ scatter dropped
+    row = make_row(idx, corner_ds, corner_ok, surf_ds, surf_ok,
+                   outlier_ds, outlier_ok, scan2d_ds, scan2d_ok)
+    kf_pose = meta.kf_pose.at[idx].set(pose, mode="drop")
+    kf_stamp = meta.kf_stamp.at[idx].set(assoc.stamp, mode="drop")
+    kf_count = meta.kf_count + insert.astype(jnp.int32)
 
     odom_w = jnp.asarray(m.odom_factor_weight, jnp.float32)
 
-    def do_insert(store, graph, fcount):
-        new_store = insert_keyframe(
-            store, pose, assoc.stamp,
-            corner_ds, corner_ok, surf_ds, surf_ok,
-            outlier_ds, outlier_ok, scan2d_ds, scan2d_ok)
-
-        def first(graph, fcount):
+    def do_factors(graph, fcount):
+        def first(g, f):
             # PriorFactor on node 0 (:1363-1369)
-            return graph.replace(prior=pose), fcount
+            return g.replace(prior=pose), f
 
-        def later(graph, fcount):
+        def later(g, f):
             # BetweenFactor(prev, new) (:1384-1398)
             z = se3.relative(last_kf, pose)
-            graph, fcount = add_factor(
-                graph, fcount, last_i, store.count, z, odom_w)
-            return graph, fcount
+            return add_factor(g, f, last_i, meta.kf_count, z, odom_w)
 
-        graph, fcount = jax.lax.cond(store.count == 0, first, later,
-                                     graph, fcount)
-        return new_store, graph, fcount
+        return jax.lax.cond(meta.kf_count == 0, first, later, graph, fcount)
 
-    store, graph, fcount = jax.lax.cond(
-        is_kf, do_insert, lambda s, g, f: (s, g, f),
-        state.store, state.graph, state.factor_count)
+    graph, fcount = jax.lax.cond(
+        insert, do_factors, lambda g, f: (g, f),
+        meta.graph, meta.factor_count)
 
     # --- loop closure, every loop_every_n_mapping cycles (:1562-1568)
     run_loop = (jnp.bool_(m.enable_loop_closure)
-                & (state.cycle % m.loop_every_n_mapping == 0)
-                & (store.count > 2))
+                & (meta.cycle % m.loop_every_n_mapping == 0)
+                & (kf_count > 2))
 
-    def with_loop(store, graph, fcount, aft):
-        res = detect_and_verify(store, assoc.stamp, cfg)
+    def with_loop(kf_pose_a, graph, fcount, aft):
+        store2 = KeyframeStore(pose=kf_pose_a, stamp=kf_stamp,
+                               count=kf_count, clouds=clouds)
+        res = detect_and_verify(store2, row, assoc.stamp, cfg)
 
-        def closed(store, graph, fcount, aft):
+        def closed(kf_pose_a, graph, fcount, aft):
             w = jnp.full((6,), 1.0 / jnp.sqrt(
                 jnp.maximum(res["fitness"], 1e-4)), jnp.float32)
             graph, fcount = add_factor(
@@ -160,31 +207,27 @@ def mapping_step(state: MappingState, assoc: AssociationOut,
             # Warm-started from the current poses the solve is
             # incremental (iSAM2's role): 2-3 GN steps suffice, and the
             # PCG's relative-tolerance exit keeps re-solves cheap.
-            old_latest = store.pose[res["latest_idx"]]
-            new_poses = optimize_poses(store.pose, store.count, graph,
+            old_latest = kf_pose_a[res["latest_idx"]]
+            new_poses = optimize_poses(kf_pose_a, kf_count, graph,
                                        gn_iters=3, pcg_iters=384)
-            store = store.replace(pose=new_poses)
             # carry the correction onto the CURRENT pose (which may be up
             # to keyframe_distance ahead of the last keyframe)
             corr = se3.compose(new_poses[res["latest_idx"]],
                                se3.inverse(old_latest))
             aft = se3.normalize_angles(se3.compose(corr, aft))
-            return store, graph, fcount, aft
+            return new_poses, graph, fcount, aft
 
         return jax.lax.cond(res["found"], closed,
-                            lambda s, g, f, a: (s, g, f, a),
-                            store, graph, fcount, aft)
+                            lambda p, g, f, a: (p, g, f, a),
+                            kf_pose_a, graph, fcount, aft)
 
-    store, graph, fcount, pose = jax.lax.cond(
-        run_loop, with_loop, lambda s, g, f, a: (s, g, f, a),
-        store, graph, fcount, pose)
+    kf_pose, graph, fcount, pose = jax.lax.cond(
+        run_loop, with_loop, lambda p, g, f, a: (p, g, f, a),
+        kf_pose, graph, fcount, pose)
 
-    new_state = MappingState(
-        store=store,
-        graph=graph,
-        factor_count=fcount,
-        cycle=state.cycle + 1,
-        aft_mapped=pose,
-        bef_mapped=assoc.odom,
+    new_meta = MappingMeta(
+        kf_pose=kf_pose, kf_stamp=kf_stamp, kf_count=kf_count,
+        graph=graph, factor_count=fcount, cycle=meta.cycle + 1,
+        aft_mapped=pose, bef_mapped=assoc.odom,
         initialized=jnp.bool_(True))
-    return new_state, pose
+    return new_meta, row, pose

@@ -25,6 +25,7 @@ from ..core import se3
 from ..core.config import LegoLoamConfig
 from ..core.types import RawScan
 from ..frontend.segmentation import image_projection
+from ..graph import keyframes
 from . import mapping as mapping_mod
 from . import odometry as odometry_mod
 
@@ -45,9 +46,14 @@ def init_state(cfg: LegoLoamConfig) -> SlamState:
         scan_index=jnp.int32(0))
 
 
-@functools.partial(jax.jit, static_argnames="cfg")
-def slam_step(state: SlamState, raw: RawScan, cfg: LegoLoamConfig):
-    """Process one scan through the full pipeline.
+def slam_step_impl(state: SlamState, raw: RawScan, cfg: LegoLoamConfig):
+    """Process one scan through the full pipeline (unjitted impl).
+
+    Transformed callers (``replay``'s ``lax.scan``, vmapped multi-stream,
+    ``shard_map``) MUST use this — wrapping the jitted :func:`slam_step`
+    inside another trace shares its pjit trace cache between batched and
+    direct calls, which miscounts hoisted constants at dispatch
+    ("Execution supplied N buffers but compiled program expected M").
 
     Returns (new_state, outputs) where outputs carries:
       odom  — integrated scan-to-scan odometry pose (10 Hz),
@@ -61,11 +67,19 @@ def slam_step(state: SlamState, raw: RawScan, cfg: LegoLoamConfig):
     run_mapping = ((state.scan_index % divider) == (divider - 1)) \
         & (not cfg.pipeline.odometry_only)
 
-    map_state, mapped = jax.lax.cond(
+    # The big keyframe cloud blocks stay OUT of the cond's outputs (XLA
+    # would copy ~100 MB per scan otherwise): the cond reads them as an
+    # operand and returns only the small MappingMeta + one KeyframeRow,
+    # which is scattered in unconditionally (dropped when idx==capacity).
+    clouds = state.mapping.clouds
+    meta, row, mapped = jax.lax.cond(
         run_mapping,
-        lambda ms: mapping_mod.mapping_step(ms, assoc, cfg),
-        lambda ms: (ms, ms.aft_mapped),
-        state.mapping)
+        lambda mm: mapping_mod.mapping_step(mm, clouds, assoc, cfg),
+        lambda mm: (mm, keyframes.null_row(clouds.capacity),
+                    mm.aft_mapped),
+        state.mapping.meta)
+    map_state = mapping_mod.MappingState(
+        meta=meta, clouds=keyframes.apply_row(clouds, row))
 
     fused = mapping_mod.fuse_pose(map_state, assoc.odom)
 
@@ -79,9 +93,13 @@ def slam_step(state: SlamState, raw: RawScan, cfg: LegoLoamConfig):
     return new_state, outputs
 
 
-@functools.partial(jax.jit, static_argnames="cfg")
-def replay(xyz: Array, valid: Array, times: Array, cfg: LegoLoamConfig):
-    """Offline whole-sequence replay as one compiled ``lax.scan``.
+slam_step = jax.jit(slam_step_impl, static_argnames="cfg")
+
+
+def replay_impl(xyz: Array, valid: Array, times: Array,
+                cfg: LegoLoamConfig):
+    """Offline whole-sequence replay as one compiled ``lax.scan``
+    (unjitted impl — see :func:`slam_step_impl` for why).
 
     Args: batched scans (N, P*3) / (N, P) / (N,) from
     ``io.npz_io.pack_sequence`` (coordinates row-flattened — see there).
@@ -91,9 +109,12 @@ def replay(xyz: Array, valid: Array, times: Array, cfg: LegoLoamConfig):
     def step(state, inp):
         x, v, t = inp
         raw = RawScan(xyz=x.reshape(-1, 3), valid=v, stamp=t)
-        return slam_step(state, raw, cfg)
+        return slam_step_impl(state, raw, cfg)
 
     return jax.lax.scan(step, init_state(cfg), (xyz, valid, times))
+
+
+replay = jax.jit(replay_impl, static_argnames="cfg")
 
 
 @functools.partial(jax.jit, static_argnames="cfg")
@@ -103,5 +124,5 @@ def batched_replay(xyz: Array, valid: Array, times: Array,
     multi-session throughput mode (amortises the per-step small-kernel
     overheads across streams; shard the batch axis over a mesh for
     multi-chip, see distributed/mesh.py)."""
-    return jax.vmap(lambda x, v, t: replay(x, v, t, cfg))(
+    return jax.vmap(lambda x, v, t: replay_impl(x, v, t, cfg))(
         xyz, valid, times)

@@ -30,6 +30,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from flax import struct
 
@@ -41,8 +42,8 @@ from ..match.bruteforce import (masked_nn, nn_in_ring_window,
 
 Array = jax.Array
 
-_SURF_FREE = jnp.array([0, 1, 5])     # roll, pitch, tz
-_CORNER_FREE = jnp.array([2, 3, 4])   # yaw, tx, ty
+_SURF_FREE = np.array([0, 1, 5])     # roll, pitch, tz
+_CORNER_FREE = np.array([2, 3, 4])   # yaw, tx, ty
 
 
 def deskew_to_start(theta: Array, xyz: Array, s: Array) -> Array:
