@@ -16,12 +16,14 @@ from lego_loam_tpu.eval.metrics import ate, rpe
 
 cfg = vlp16()
 n = int(os.environ.get("N", "2000"))
-cache = f"/tmp/stevens_{n}.npz"
+seed = int(os.environ.get("SEED", "77"))
+cache = f"/tmp/stevens_{n}_{seed}.npz" if seed != 77 else \
+    f"/tmp/stevens_{n}.npz"
 if os.path.exists(cache):
     scans, gt, times = load_sequence(cache)
 else:
     t0 = time.time()
-    scans, gt, times = make_sequence(n, cfg, seed=77, noise=0.01,
+    scans, gt, times = make_sequence(n, cfg, seed=seed, noise=0.01,
                                      trajectory="figure8")
     print(f"generated {n} scans in {time.time()-t0:.0f}s")
     save_sequence(cache, scans, gt, times)

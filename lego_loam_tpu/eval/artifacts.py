@@ -77,6 +77,7 @@ def dump_run_artifacts(out_dir: str, outputs: Dict[str, np.ndarray],
     if final_state is not None and cfg is not None:
         import jax.numpy as jnp
 
+        from ..graph.keyframes import assemble_global_map
         from ..map2d.grid import build_occupancy_grid
 
         store = final_state.mapping.store
@@ -89,12 +90,53 @@ def dump_run_artifacts(out_dir: str, outputs: Dict[str, np.ndarray],
                                 np.asarray(grid))
             np.save(os.path.join(out_dir, "keyframe_poses.npy"),
                     np.asarray(store.pose)[: int(store.count)])
+            # /laser_cloud_surround: global 3D feature map
+            # (publishGlobalMap, mapOptmization.cpp:633-693)
+            gm_xyz, gm_ok = assemble_global_map(store, center, cfg)
+            np.save(os.path.join(out_dir, "global_map.npy"),
+                    np.asarray(gm_xyz)[np.asarray(gm_ok)])
 
     meta = {"n_scans": int(n), "written_at": time.time()}
     if metrics:
         meta.update(metrics)
     with open(os.path.join(out_dir, "metrics.json"), "w") as f:
         json.dump(meta, f, indent=2)
+
+
+def dump_scan_debug(out_dir: str, raw, cfg, index: int = 0) -> str:
+    """Per-scan debug artifact — the reference's ImageProjection /
+    FeatureAssociation rviz topics (``/full_cloud_projected``,
+    ``/ground_cloud``, ``/segmented_cloud``, ``/outlier_cloud``,
+    ``/laser_cloud_sharp`` … ``/laser_cloud_less_flat``, SURVEY.md §2.8)
+    as one ``scan_debug_{index}.npz``.  ``raw`` is a
+    :class:`~lego_loam_tpu.core.types.RawScan`."""
+    from ..frontend.features import extract_features
+    from ..frontend.projection import project_scan
+    from ..frontend.segmentation import segment_cloud
+
+    img = project_scan(raw, cfg)
+    proj = segment_cloud(img, raw.stamp, cfg)
+    feats = extract_features(proj.segmented, cfg)
+
+    def cloud(xyz, valid):
+        return np.asarray(xyz).reshape(-1, 3)[np.asarray(valid).reshape(-1)]
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"scan_debug_{index}.npz")
+    np.savez(
+        path,
+        range_image=np.asarray(img.rng),
+        ground_mask=np.asarray(img.ground),
+        full_cloud=cloud(img.xyz, img.valid),
+        ground_cloud=cloud(img.xyz, img.valid & img.ground),
+        segmented_cloud=cloud(proj.segmented.xyz, proj.segmented.valid),
+        outlier_cloud=cloud(proj.outlier_xyz, proj.outlier_valid),
+        virtual_scan_2d=cloud(proj.scan2d_xyz, proj.scan2d_valid),
+        sharp=cloud(feats.sharp.xyz, feats.sharp.valid),
+        less_sharp=cloud(feats.less_sharp.xyz, feats.less_sharp.valid),
+        flat=cloud(feats.flat.xyz, feats.flat.valid),
+        less_flat=cloud(feats.less_flat.xyz, feats.less_flat.valid))
+    return path
 
 
 class StageTimer:

@@ -114,33 +114,55 @@ def _greedy_pick(score: Array, eligible0: Array, picked0: Array,
         sup = near & same_run & has[:, :, None]                # (V,K,S)
         one_hot = (pos[None, None, :] == idx[:, :, None]) & has[:, :, None]
         picked = picked | jnp.any(sup, axis=1)
-        return (picked, rank + 1), one_hot
+        return (picked, rank + 1), (one_hot, idx, has)
 
-    (picked, _), onehots = jax.lax.scan(
+    (picked, _), (onehots, idxs, have) = jax.lax.scan(
         body, (picked0, jnp.int32(0)), None, length=n_picks)
-    return onehots, picked        # (n_picks, V, K, S), (V,S)
+    # onehots (n_picks,V,K,S); idxs/have (n_picks,V,K)
+    return onehots, idxs, have, picked
 
 
-def _gather_features(seg: SegmentedCloud, mask: Array, capacity: int,
-                     rings: Array) -> FeatureCloud:
-    """Compact a (V,S) selection mask into a fixed-capacity FeatureCloud.
+def _cloud_from_picks(seg: SegmentedCloud, idxs: Array, have: Array,
+                      capacity: int) -> FeatureCloud:
+    """Build a FeatureCloud by GATHERING the ~R·V·K pick indices that
+    :func:`_greedy_pick` already computed — no 28.8 K-index scatter
+    compaction needed (TPU scatters serialize per index; gathers of a
+    couple thousand indices are ~free).
 
-    One packed scatter (xyz+ring+rel as 5 channels) instead of a full
-    argsort plus three gathers — TPU scatters pay per index, not per
-    channel."""
-    flat = mask.reshape(-1)
-    pos = jnp.cumsum(flat) - 1
-    dest = jnp.where(flat & (pos < capacity), pos, capacity)
-    payload = jnp.concatenate(
-        [seg.xyz.reshape(-1, 3),
-         rings.reshape(-1, 1).astype(jnp.float32),
-         seg.rel_time.reshape(-1, 1)], axis=1)              # (VS, 5)
-    out = jnp.zeros((capacity, 5), jnp.float32).at[dest].set(
-        payload, mode="drop", unique_indices=True)
-    n = jnp.sum(flat)
-    valid = jnp.arange(capacity) < n
+    idxs/have: (R, V, K) pick column + validity per (rank, ring, sector).
+    """
+    R, V, K = idxs.shape
+    S = seg.rng.shape[1]
+    ring = jnp.broadcast_to(
+        jnp.arange(V, dtype=jnp.int32)[None, :, None], (R, V, K))
+    flat = (ring * S + jnp.clip(idxs, 0, S - 1)).reshape(-1)
+    ok = have.reshape(-1)
+
+    # left-compact in flat-pixel order — bit-identical layout to a
+    # position-major mask compaction (the trajectory is chaotically
+    # sensitive even to candidate ORDER via kNN tie-breaks, so the
+    # layout is pinned, not left to rank order)
+    n = R * V * K
+    key = jnp.where(ok, flat, jnp.int32(2 ** 30))
+    order = jnp.argsort(key)
+    flat, ok = flat[order], ok[order]
+
+    xyz = seg.xyz.reshape(-1, 3)[flat]
+    rel = seg.rel_time.reshape(-1)[flat]
+    ring_f = (flat // S).astype(jnp.float32)
+
+    if n >= capacity:                       # static truncation
+        xyz, rel, ring_f, ok = (xyz[:capacity], rel[:capacity],
+                                ring_f[:capacity], ok[:capacity])
+    else:
+        pad = capacity - n
+        xyz = jnp.concatenate([xyz, jnp.zeros((pad, 3), xyz.dtype)])
+        rel = jnp.concatenate([rel, jnp.zeros((pad,), rel.dtype)])
+        ring_f = jnp.concatenate([ring_f, jnp.zeros((pad,), ring_f.dtype)])
+        ok = jnp.concatenate([ok, jnp.zeros((pad,), bool)])
     return FeatureCloud(
-        xyz=out[:, :3], ring=out[:, 3], rel_time=out[:, 4], valid=valid)
+        xyz=jnp.where(ok[:, None], xyz, 0.0), ring=ring_f,
+        rel_time=jnp.where(ok, rel, 0.0), valid=ok)
 
 
 @functools.partial(jax.jit, static_argnames="cfg")
@@ -165,20 +187,17 @@ def extract_features(seg: SegmentedCloud, cfg: LegoLoamConfig) -> FeatureSet:
     # --- corner picks: top-20 curvature, non-ground, curv > edge_threshold
     corner_elig = (base_ok & ~seg.is_ground[:, None, :]
                    & (curv > f.edge_threshold)[:, None, :])
-    corner_oh, picked = _greedy_pick(
+    corner_oh, corner_idx, corner_has, picked = _greedy_pick(
         curv, corner_elig, picked0, badcum, f.less_sharp_per_sector,
         maximize=True, cfg=cfg)
-    corner_any = jnp.any(corner_oh, axis=2)           # (rank, V, S)
-    sharp_mask = jnp.any(corner_any[:f.sharp_per_sector], axis=0)
-    less_sharp_mask = jnp.any(corner_any, axis=0)
+    less_sharp_mask = jnp.any(jnp.any(corner_oh, axis=2), axis=0)
 
     # --- flat picks: 4 smallest-curvature ground points, curv < threshold
     flat_elig = (base_ok & seg.is_ground[:, None, :]
                  & (curv < f.surf_threshold)[:, None, :])
-    flat_oh, picked = _greedy_pick(
+    _, flat_idx, flat_has, picked = _greedy_pick(
         curv, flat_elig, picked, badcum, f.flat_per_sector,
         maximize=False, cfg=cfg)
-    flat_mask = jnp.any(jnp.any(flat_oh, axis=2), axis=0)
 
     # --- less-flat: every in-sector point not labeled corner (:370-377)
     in_any_sector = jnp.any(sector, axis=1) & seg.valid
@@ -186,7 +205,13 @@ def extract_features(seg: SegmentedCloud, cfg: LegoLoamConfig) -> FeatureSet:
 
     rings = jax.lax.broadcasted_iota(jnp.int32, (V, S), 0)
 
-    # per-ring 0.2 m voxel downsample of the less-flat scan (:379-382)
+    # per-ring 0.2 m voxel downsample of the less-flat scan (:379-382).
+    # Exact sort-based centroids, deliberately: these points are both the
+    # odometry plane candidates and (via AssociationOut) the keyframe
+    # surf clouds, and pcl::VoxelGrid's noise-averaging centroids proved
+    # load-bearing — one-scatter hash representatives (even two-probe,
+    # even neighbour-pre-smoothed) cost 0.94 → 1.1-1.4 m ATE on the
+    # 2000-scan Stevens stress.
     per_ring_cap = cfg.feature.max_less_flat // V
 
     def ring_ds(xyz, payload, valid):
@@ -204,8 +229,10 @@ def extract_features(seg: SegmentedCloud, cfg: LegoLoamConfig) -> FeatureSet:
         valid=ds_valid.reshape(-1))
 
     return FeatureSet(
-        sharp=_gather_features(seg, sharp_mask, f.max_sharp, rings),
-        less_sharp=_gather_features(seg, less_sharp_mask, f.max_less_sharp,
-                                    rings),
-        flat=_gather_features(seg, flat_mask, f.max_flat, rings),
+        sharp=_cloud_from_picks(seg, corner_idx[:f.sharp_per_sector],
+                                corner_has[:f.sharp_per_sector],
+                                f.max_sharp),
+        less_sharp=_cloud_from_picks(seg, corner_idx, corner_has,
+                                     f.max_less_sharp),
+        flat=_cloud_from_picks(seg, flat_idx, flat_has, f.max_flat),
         less_flat=less_flat)

@@ -225,6 +225,48 @@ def _transform_block(pose: Array, pts: Array, valid: Array):
     return jnp.where(valid[:, None], w, 0.0)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "max_frames",
+                                              "capacity"))
+def assemble_global_map(store: KeyframeStore, center: Array,
+                        cfg: LegoLoamConfig, max_frames: int = 512,
+                        capacity: int = 131072):
+    """World-frame global feature map for visualization/export — the
+    ``publishGlobalMap`` path (``mapOptmization.cpp:633-693``): keyposes
+    within ``global_map_visualization_search_radius`` (500 m) of
+    ``center``, their corner+surf+outlier clouds transformed to world and
+    voxel-downsampled at 0.4 m (:688).
+
+    Returns (xyz (capacity, 3), valid (capacity,)).
+    """
+    from ..match.voxelhash import voxel_hash_downsample
+
+    m = cfg.mapping
+    K = store.capacity
+    alive = jnp.arange(K) < store.count
+    d = jnp.linalg.norm(store.pose[:, 3:] - center[3:], axis=-1)
+    d = jnp.where(alive & (d <= m.global_map_visualization_search_radius),
+                  d, jnp.inf)
+    neg_top, sel = jax.lax.top_k(-d, max_frames)
+    sel_ok = jnp.isfinite(-neg_top)
+
+    pose = store.pose[sel]
+    blocks = []
+    valids = []
+    for blk, vld in ((store.corner, store.corner_valid),
+                     (store.surf, store.surf_valid),
+                     (store.outlier, store.outlier_valid)):
+        ok = vld[sel] & sel_ok[:, None]
+        w = jax.vmap(se3.apply)(pose, as_points(blk[sel]))
+        blocks.append(jnp.where(ok[:, :, None], w, 0.0).reshape(-1, 3))
+        valids.append(ok.reshape(-1))
+    xyz = jnp.concatenate(blocks, axis=0)
+    ok = jnp.concatenate(valids, axis=0)
+    out_xyz, _, out_ok = voxel_hash_downsample(
+        xyz, jnp.zeros((xyz.shape[0], 0), xyz.dtype), ok,
+        m.surf_leaf_size, capacity)
+    return out_xyz, out_ok
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "window"))
 def assemble_submap(store: KeyframeStore, cur_pose: Array,
                     cfg: LegoLoamConfig, window: int = 50):

@@ -72,6 +72,69 @@ def voxel_downsample(xyz: Array, valid: Array, leaf: float, capacity: int):
     return out_xyz, out_valid
 
 
+@functools.partial(jax.jit, static_argnames=("leaf", "capacity",
+                                              "two_probe"))
+def voxel_hash_downsample(xyz: Array, payload: Array, valid: Array,
+                          leaf: float, capacity: int, salt: Array = None,
+                          two_probe: bool = True):
+    """Scatter-based voxel filter: one *representative point* per occupied
+    voxel (latest write wins), slots assigned by spatial hash.
+
+    The sort-based :func:`voxel_downsample` costs a lexsort + per-field
+    gathers + segment-sum scatters — ~1.6 ms at scan size on TPU, all
+    serialized scatter/gather traffic.  This variant is 1-2 scatters
+    (~0.3 ms each at 28.8 K points): centroids become representatives
+    and distinct voxels can collide in the hash.  With ``two_probe``
+    (default) points that lose their first slot to a different voxel are
+    rescued into a second independent slot, cutting the collision loss
+    from ~load-factor to ~load-factor² (measured 1.26 → 0.9x m Stevens
+    ATE vs 18 % single-probe loss); the residual few-percent loss is
+    absorbed by the downstream NN association (the reference's
+    pcl::VoxelGrid centroids are themselves leaf-size approximations).
+
+    Args:
+      xyz: (N, 3); payload: (N, D) extra channels carried along;
+      valid: (N,); leaf: voxel edge; capacity: slot count (output size);
+      salt: optional (N,) int32 mixed into the hash key — pass the ring
+        index to reproduce pcl-per-ring filtering (two rings sharing a
+        voxel both keep a point, ``featureAssociation.cpp:370-382``);
+      two_probe: rescue first-probe losers into a second hash slot.
+
+    Returns (xyz (capacity,3), payload (capacity,D), valid (capacity,)).
+    Output order is hash-slot order (order-independent consumers only).
+    """
+    n = xyz.shape[0]
+    q = jnp.floor(xyz / leaf).astype(jnp.int32)
+    h = (q[..., 0] * 73856093) ^ (q[..., 1] * 19349663) \
+        ^ (q[..., 2] * 83492791)
+    if salt is not None:
+        h = h ^ (salt.astype(jnp.int32) * jnp.int32(-1640531527))  # 0x9E3779B1
+    slot = (h & jnp.int32(2 ** 31 - 1)) % capacity
+    slot = jnp.where(valid, slot, capacity)                # ⇒ dropped
+
+    if two_probe:
+        # Who owns each first-probe slot?  Same scatter semantics as the
+        # payload write, so the owner is exactly the point that would
+        # win; losers re-hash to an independent slot.  Two points of the
+        # SAME voxel both losing re-collide at the second slot — fine,
+        # they are duplicates by definition.
+        pid = jnp.arange(n, dtype=jnp.int32)
+        owner = jnp.full((capacity,), -1, jnp.int32
+                         ).at[slot].set(pid, mode="drop")
+        got = owner[jnp.clip(slot, 0, capacity - 1)] == pid
+        h2 = (h * jnp.int32(-1640531527)) ^ (h >> 13)
+        slot2 = (h2 & jnp.int32(2 ** 31 - 1)) % capacity
+        slot = jnp.where(valid & ~got, slot2, slot)
+
+    cat = jnp.concatenate(
+        [xyz, payload, jnp.ones((n, 1), xyz.dtype)], axis=-1)
+    out = jnp.zeros((capacity, cat.shape[1]), xyz.dtype
+                    ).at[slot].set(cat, mode="drop")
+    out_valid = out[:, -1] > 0.5
+    out_xyz = jnp.where(out_valid[:, None], out[:, :3], 0.0)
+    return out_xyz, out[:, 3:-1], out_valid
+
+
 @functools.partial(jax.jit, static_argnames=("leaf", "capacity"))
 def voxel_downsample_with_payload(xyz: Array, payload: Array, valid: Array,
                                   leaf: float, capacity: int):

@@ -127,7 +127,13 @@ def mapping_step(meta: MappingMeta, clouds: KeyframeClouds,
     m = cfg.mapping
     pred = predict_pose(meta, assoc.odom)
 
-    # downsampleCurrentScan (:999-1026)
+    # downsampleCurrentScan (:999-1026).  Exact sort-based centroids here:
+    # these clouds become the PERSISTENT keyframe blocks (and scan-to-map
+    # queries), where hash-collision loss at load factor ≳ 1 (up to 8 K
+    # candidates into 2 K slots) compounds over the whole trajectory —
+    # measured 0.94 → 1.62 m ATE on the 2000-scan Stevens stress.  Runs
+    # only every mapping cycle (1/5 scans), unlike the per-scan feature
+    # filter where the one-scatter hash variant is safe (load ≈ 0.4).
     corner_ds, corner_ok = voxel_downsample(
         assoc.corner_xyz, assoc.corner_valid, m.corner_leaf_size,
         CORNER_CAP)

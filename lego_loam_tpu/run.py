@@ -41,6 +41,9 @@ def main(argv=None):
     ap.add_argument("--odometry-only", action="store_true")
     ap.add_argument("--streaming", action="store_true",
                     help="per-scan streaming through the native channel")
+    ap.add_argument("--debug-scan", type=int, default=None, metavar="I",
+                    help="also dump per-scan frontend debug clouds for "
+                         "scan I (the reference's rviz topics, as .npz)")
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args(argv)
 
@@ -143,6 +146,14 @@ def main(argv=None):
 
     dump_run_artifacts(args.output, outs, times, final_state, cfg,
                        gt_poses=gt, metrics=metrics)
+    if args.debug_scan is not None:
+        from .eval.artifacts import dump_scan_debug
+        from .io.npz_io import pack_raw_scan
+        i = min(args.debug_scan, n - 1)
+        raw = pack_raw_scan(scans[i], float(times[i]),
+                            cfg.pipeline.max_points)
+        path = dump_scan_debug(args.output, raw, cfg, index=i)
+        print(f"[lego-loam-tpu] debug clouds -> {path}", file=sys.stderr)
     print(json.dumps(metrics.get("ate", {"scans_per_sec": rate})))
 
 

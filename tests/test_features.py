@@ -126,3 +126,32 @@ def test_suppression_prefix_sum_matches_walk(proj_out):
             & valid[v])[0].tolist())
         walk = {p for p in walk if valid[v, p]}
         assert ours == walk, (v, idx, sorted(ours ^ walk))
+
+
+def test_feature_cloud_layout_invariants(proj_out):
+    """Feature clouds must be left-compacted in flat-pixel order with
+    unique pixels — the trajectory is chaotically sensitive to candidate
+    order (kNN tie-breaks), so the layout is pinned by contract."""
+    seg = proj_out.segmented
+    fs = extract_features(seg, CFG)
+    seg_xyz = np.asarray(seg.xyz)
+    V, S = np.asarray(seg.rng).shape
+    for fc in (fs.sharp, fs.less_sharp, fs.flat):
+        valid = np.asarray(fc.valid)
+        n = int(valid.sum())
+        assert n > 0
+        # left-compacted: all valid entries first
+        assert valid[:n].all() and not valid[n:].any()
+        ring = np.asarray(fc.ring)[:n].astype(int)
+        xyz = np.asarray(fc.xyz)[:n]
+        # each point matches its source pixel; recover the column by
+        # exact xyz match within the ring row
+        flat_keys = []
+        for i in range(n):
+            row = seg_xyz[ring[i]]
+            d = np.linalg.norm(row - xyz[i], axis=1)
+            j = int(np.argmin(d))
+            assert d[j] < 1e-6
+            flat_keys.append(ring[i] * S + j)
+        # strictly increasing flat index = position-major order + unique
+        assert all(b > a for a, b in zip(flat_keys, flat_keys[1:]))

@@ -9,7 +9,7 @@ from lego_loam_tpu.core import se3
 from lego_loam_tpu.core.config import vlp16
 from lego_loam_tpu.solve.scan2map import MapCloud, scan_to_map
 from lego_loam_tpu.graph.keyframes import empty_store, insert_keyframe, \
-    assemble_submap
+    assemble_submap, assemble_global_map
 from lego_loam_tpu.io.npz_io import pack_sequence
 from lego_loam_tpu.pipeline.slam import init_state, replay, slam_step
 from lego_loam_tpu.eval.metrics import ate
@@ -98,6 +98,16 @@ def test_keyframe_store_and_submap():
     assert int(jnp.sum(surf_map.valid)) > 0
     # all submap points finite
     assert np.isfinite(np.asarray(corner_map.xyz)).all()
+
+    # publishGlobalMap parity: world-frame union of all keyframes,
+    # transformed by keyframe pose and downsampled
+    gm_xyz, gm_ok = assemble_global_map(store, store.pose[0], CFG,
+                                        max_frames=8, capacity=4096)
+    gm = np.asarray(gm_xyz)[np.asarray(gm_ok)]
+    assert len(gm) > 0 and np.isfinite(gm).all()
+    # keyframe 4 sits at x=8: its points (sensor frame ±5 m) must appear
+    # shifted into world frame, so the global map spans past x=5
+    assert gm[:, 0].max() > 5.0
 
 
 @pytest.mark.slow
