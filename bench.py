@@ -23,8 +23,13 @@ def log(*a):
 
 def main():
     n_scans = int(os.environ.get("BENCH_SCANS", "200"))
-    # >1 enables the experimental vmapped multi-stream mode (currently
-    # faults the axon TPU runtime — under investigation)
+    # >1 enables the batched multi-stream mode.  Measured: NOT profitable
+    # on one chip (B=4 lock-step: 149 scans/s aggregate vs 173 single) —
+    # the pipeline is scatter/sort/while-loop-bound, and those serialize
+    # per index / run lock-step across vmapped lanes, so batching scales
+    # superlinearly in cost.  Multi-session throughput scales out across
+    # CHIPS instead (one stream per device over a mesh — see
+    # distributed/mesh.py and benchmarks/scaling.py).
     n_streams = int(os.environ.get("BENCH_STREAMS", "1"))
 
     import jax

@@ -33,6 +33,38 @@ def _voxel_keys(xyz: Array, valid: Array, leaf: float):
     return k1, k2
 
 
+def _sorted_pack(xyz: Array, payload: Array, valid: Array, leaf: float):
+    """lexsort by voxel key, then ONE packed gather.
+
+    TPU gathers pay per index, so moving [qx qy qz | xyz | payload |
+    valid] as one (N, 6+D+1) f32 row per index instead of 5-6 separate
+    gathers is ~3× cheaper (profiled 1.06 → ~0.4 ms/scan on the per-ring
+    less-flat filter).  Voxel coords ≤ 2¹⁶ are exact in f32; invalid
+    points carry coord 2¹⁶ (sorts last, compares equal only to other
+    invalids, which the ``& vs`` mask already discards).
+
+    Returns (q_sorted (N,3), xyz_sorted, payload_sorted, valid_sorted).
+    """
+    k1, k2 = _voxel_keys(xyz, valid, leaf)
+    order = jnp.lexsort((k2, k1))
+
+    q = jnp.floor(xyz / leaf) + float(_OFFSET)
+    q = jnp.clip(q, 0.0, float(_BITS - 1))        # match _voxel_keys' clip
+    q = jnp.where(valid[:, None], q, float(_BITS))
+    cat = jnp.concatenate(
+        [q.astype(jnp.float32), xyz, payload,
+         valid[:, None].astype(jnp.float32)], axis=-1)
+    s = cat[order]
+    D = payload.shape[-1]
+    return s[:, :3], s[:, 3:6], s[:, 6:6 + D], s[:, 6 + D] > 0.5
+
+
+def _run_starts(q_sorted: Array, vs: Array):
+    """True where a new voxel run begins (sorted order)."""
+    diff = jnp.any(q_sorted[1:] != q_sorted[:-1], axis=-1)
+    return jnp.concatenate([jnp.ones((1,), bool), diff]) & vs
+
+
 @functools.partial(jax.jit, static_argnames=("leaf", "capacity"))
 def voxel_downsample(xyz: Array, valid: Array, leaf: float, capacity: int):
     """Centroid voxel filter.
@@ -47,17 +79,9 @@ def voxel_downsample(xyz: Array, valid: Array, leaf: float, capacity: int):
       (out_xyz (capacity,3), out_valid (capacity,)) — one centroid per
       occupied voxel, in voxel-key order; padded with zeros.
     """
-    N = xyz.shape[0]
-    k1, k2 = _voxel_keys(xyz, valid, leaf)
-    order = jnp.lexsort((k2, k1))
-    k1s, k2s = k1[order], k2[order]
-    xs = xyz[order]
-    vs = valid[order]
-
-    new_voxel = jnp.concatenate([
-        jnp.ones((1,), bool),
-        (k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])])
-    new_voxel = new_voxel & vs
+    qs, xs, _, vs = _sorted_pack(
+        xyz, jnp.zeros((xyz.shape[0], 0), xyz.dtype), valid, leaf)
+    new_voxel = _run_starts(qs, vs)
     seg = jnp.cumsum(new_voxel.astype(jnp.int32)) - 1      # voxel ordinal
     seg = jnp.where(vs, seg, capacity)                     # drop invalid
 
@@ -140,16 +164,8 @@ def voxel_downsample_with_payload(xyz: Array, payload: Array, valid: Array,
                                   leaf: float, capacity: int):
     """Same as :func:`voxel_downsample` but also averages a per-point payload
     array (…, D) over each voxel (used for ring / rel-time channels)."""
-    N = xyz.shape[0]
-    k1, k2 = _voxel_keys(xyz, valid, leaf)
-    order = jnp.lexsort((k2, k1))
-    k1s, k2s = k1[order], k2[order]
-    xs, ps, vs = xyz[order], payload[order], valid[order]
-
-    new_voxel = jnp.concatenate([
-        jnp.ones((1,), bool),
-        (k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])])
-    new_voxel = new_voxel & vs
+    qs, xs, ps, vs = _sorted_pack(xyz, payload, valid, leaf)
+    new_voxel = _run_starts(qs, vs)
     seg = jnp.cumsum(new_voxel.astype(jnp.int32)) - 1
     seg = jnp.where(vs, seg, capacity)
 

@@ -120,9 +120,70 @@ replay = jax.jit(replay_impl, static_argnames="cfg")
 @functools.partial(jax.jit, static_argnames="cfg")
 def batched_replay(xyz: Array, valid: Array, times: Array,
                    cfg: LegoLoamConfig):
-    """Replay B independent sequences vmapped on one chip — the
-    multi-session throughput mode (amortises the per-step small-kernel
+    """Replay B independent sequences LOCK-STEP on one chip — the
+    multi-session throughput mode (amortises per-step small-kernel
     overheads across streams; shard the batch axis over a mesh for
-    multi-chip, see distributed/mesh.py)."""
-    return jax.vmap(lambda x, v, t: replay_impl(x, v, t, cfg))(
-        xyz, valid, times)
+    multi-chip, see distributed/mesh.py).
+
+    Deliberately NOT ``vmap(replay_impl)``: under vmap every ``lax.cond``
+    becomes a select that executes BOTH branches, so the 1-in-5 mapping
+    branch (and its 1-in-3 loop-closure attempt) would run for every
+    scan of every stream — measured 173 → 46 scans/s aggregate at B=2.
+    The mapping cadence only depends on the scan index, which is shared
+    across streams, so the cond is lifted OUTSIDE the vmap and stays a
+    real branch; only the data-dependent loop-closure cond inside
+    ``mapping_step`` pays the select cost (1/15th of scans).
+
+    Args are (B, N, …); returns (final_states, outputs) batched on axis 0
+    of every leaf.
+    """
+    B = xyz.shape[0]
+    divider = cfg.mapping.mapping_frequency_divider
+
+    state0 = jax.vmap(lambda _: init_state(cfg))(jnp.arange(B))
+
+    def step(carry, inp):
+        states, i = carry
+        x, v, t = inp                                   # (B, …)
+        projs = jax.vmap(
+            lambda xx, vv, tt: image_projection(
+                RawScan(xyz=xx.reshape(-1, 3), valid=vv, stamp=tt), cfg)
+        )(x, v, t)
+        odo, assocs = jax.vmap(
+            lambda s, p: odometry_mod.odometry_step(s, p, cfg)
+        )(states.odo, projs)
+
+        run_mapping = ((i % divider) == (divider - 1)) \
+            & (not cfg.pipeline.odometry_only)
+        clouds = states.mapping.clouds                  # (B, K, …)
+
+        def do_map(mm):
+            return jax.vmap(
+                lambda m, c, a: mapping_mod.mapping_step(m, c, a, cfg)
+            )(mm, clouds, assocs)
+
+        def skip_map(mm):
+            null = jax.vmap(
+                lambda _: keyframes.null_row(clouds.capacity)
+            )(jnp.arange(B))
+            return mm, null, mm.aft_mapped
+
+        meta, rows, mapped = jax.lax.cond(
+            run_mapping, do_map, skip_map, states.mapping.meta)
+        map_state = mapping_mod.MappingState(
+            meta=meta,
+            clouds=jax.vmap(keyframes.apply_row)(clouds, rows))
+        fused = jax.vmap(mapping_mod.fuse_pose)(map_state, assocs.odom)
+
+        new_states = SlamState(odo=odo, mapping=map_state,
+                               scan_index=states.scan_index + 1)
+        return (new_states, i + 1), {
+            "odom": assocs.odom, "fused": fused, "mapped": mapped}
+
+    (final, _), outs = jax.lax.scan(
+        step, (state0, jnp.int32(0)),
+        (jnp.swapaxes(xyz, 0, 1), jnp.swapaxes(valid, 0, 1),
+         jnp.swapaxes(times, 0, 1)))
+    # outputs come out time-major (N, B, 6) → return batch-major
+    outs = jax.tree.map(lambda o: jnp.swapaxes(o, 0, 1), outs)
+    return final, outs

@@ -59,11 +59,16 @@ def deskew_to_end(theta: Array, xyz: Array, s: Array) -> Array:
 
 @struct.dataclass
 class _Corr:
-    """Correspondence cache carried across GN iterations."""
-    j1: Array
-    j2: Array
-    j3: Array          # unused for corners (zeros)
-    ok: Array
+    """Correspondence GEOMETRY carried across GN iterations.
+
+    The matched plane/line lives in the (static) last frame, so it is
+    constant w.r.t. θ: the search precomputes (anchor a, unit u) once and
+    the per-iteration residual is just deskew + one dot product — no
+    gathers or cross products inside the loop or its jacfwd tape.
+    For surf, u = plane unit normal; for corner, u = line direction."""
+    a: Array           # (Q, 3) anchor point on the plane/line
+    u: Array           # (Q, 3) unit normal (surf) / unit direction (corner)
+    ok: Array          # (Q,)
 
 
 def _search_surf(theta, flat: FeatureCloud, last: FeatureCloud,
@@ -90,7 +95,13 @@ def _search_surf(theta, flat: FeatureCloud, last: FeatureCloud,
         d2x, jnp.floor(last.ring), last.valid, r1,
         lo=1.0e-3, hi=f.ring_window)
     ok = ok1 & (dist2 < max_d2) & (dist3 < max_d2)
-    return _Corr(j1=j1, j2=j2, j3=j3, ok=ok)
+
+    a = last.xyz[j1]
+    b = last.xyz[j2]
+    c = last.xyz[j3]
+    n = jnp.cross(b - a, c - a)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1), 1e-12)[..., None]
+    return _Corr(a=a, u=n, ok=ok)
 
 
 def _search_corner(theta, sharp: FeatureCloud, last: FeatureCloud,
@@ -111,7 +122,12 @@ def _search_corner(theta, sharp: FeatureCloud, last: FeatureCloud,
         d2, jnp.floor(last.ring), last.valid, r1,
         lo=-f.ring_window, hi=f.ring_window, exclude_center_ring=True)
     ok = ok1 & (dist2 < max_d2)
-    return _Corr(j1=j1, j2=j2, j3=jnp.zeros_like(j1), ok=ok)
+
+    a = last.xyz[j1]
+    b = last.xyz[j2]
+    u = b - a
+    u = u / jnp.maximum(jnp.linalg.norm(u, axis=-1), 1e-12)[..., None]
+    return _Corr(a=a, u=u, ok=ok)
 
 
 def _surf_dist(theta, flat: FeatureCloud, last: FeatureCloud, corr: _Corr):
@@ -120,14 +136,9 @@ def _surf_dist(theta, flat: FeatureCloud, last: FeatureCloud, corr: _Corr):
     Returns (residual (N,1), |d| (N,), transformed points (N,3)).  The
     signed scalar distance is already smooth in θ, so GN applies directly.
     """
+    del last
     x = deskew_to_start(theta, flat.xyz, flat.rel_time)
-    a = last.xyz[corr.j1]
-    b = last.xyz[corr.j2]
-    c = last.xyz[corr.j3]
-    n = jnp.cross(b - a, c - a)
-    n_norm = jnp.linalg.norm(n, axis=-1)
-    n = n / jnp.maximum(n_norm, 1e-12)[..., None]
-    d = jnp.sum(n * (x - a), axis=-1)
+    d = jnp.sum(corr.u * (x - corr.a), axis=-1)
     return d[:, None], jnp.abs(d), x
 
 
@@ -142,13 +153,10 @@ def _corner_dist(theta, sharp: FeatureCloud, last: FeatureCloud,
 
     Returns (residual (N,3), |d| (N,), transformed points (N,3)).
     """
+    del last
     x = deskew_to_start(theta, sharp.xyz, sharp.rel_time)
-    a = last.xyz[corr.j1]
-    b = last.xyz[corr.j2]
-    u = b - a
-    u = u / jnp.maximum(jnp.linalg.norm(u, axis=-1), 1e-12)[..., None]
-    v = x - a
-    r = v - jnp.sum(v * u, axis=-1, keepdims=True) * u
+    v = x - corr.a
+    r = v - jnp.sum(v * corr.u, axis=-1, keepdims=True) * corr.u
     return r, jnp.linalg.norm(r, axis=-1), x
 
 
