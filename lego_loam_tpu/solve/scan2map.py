@@ -11,7 +11,9 @@ TPU-native reimplementation of ``MapOptimization::scan2MapOptimization``
   iff λ_max > 3 λ_mid; point-to-line residual against the ±0.1-scaled
   principal direction through the centroid (vector form — see
   solve/odometry.py for why the unsigned scalar is avoided);
-* surf: 5-point plane fit ``A·n = −1``; reject if any neighbour deviates
+* surf: 5-point plane fit (centred-covariance smallest eigenvector —
+  better conditioned than the reference's ``A·n = −1`` on raw world
+  coords, see ``_surf_assoc``); reject if any neighbour deviates
   > 0.2 m; signed point-to-plane residual;
 * weights 1−0.9·|d| (corner) and 1−0.9·|d|/⁴√‖p_local‖ (surf — the
   reference uses the *map-frame* norm at :1183, which grows with distance
@@ -31,7 +33,7 @@ import jax.numpy as jnp
 
 from ..core import se3
 from ..core.config import LegoLoamConfig
-from ..core.linalg3 import eigvals_sym3, principal_eigvec_sym3, solve3
+from ..core.linalg3 import eigvals_sym3, principal_eigvec_sym3
 from ..match.bruteforce import knn_chunked
 
 Array = jax.Array
@@ -55,9 +57,15 @@ def _corner_assoc(pose: Array, pts: Array, pts_valid: Array,
     world = se3.apply(pose, pts)
     idx, d2 = knn_chunked(world, pts_valid, corner_map.xyz,
                           corner_map.valid, k=5)
-    near_ok = d2[:, 4] < m.neighbor_radius ** 2          # :1037
 
     nb = corner_map.xyz[idx]                             # (N,5,3)
+    # gate on EXACT distances recomputed from the gathered points
+    # (difference-first; the selection matrix runs at Precision.HIGH,
+    # ~0.1 m² jitter, fine for ranking but not for a 1 m² gate)
+    d2_exact = jnp.sum((nb - world[:, None, :]) ** 2, axis=-1)
+    invalid5 = d2[:, 4] >= 1e30                          # <5 candidates
+    near_ok = (jnp.max(d2_exact, axis=1) < m.neighbor_radius ** 2) \
+        & ~invalid5                                      # :1037
     centroid = jnp.mean(nb, axis=1)
     d = nb - centroid[:, None, :]
     cov = jnp.einsum("nki,nkj->nij", d, d) / 5.0
@@ -84,22 +92,31 @@ def _surf_assoc(pose: Array, pts: Array, pts_valid: Array,
     world = se3.apply(pose, pts)
     idx, d2 = knn_chunked(world, pts_valid, surf_map.xyz,
                           surf_map.valid, k=5)
-    near_ok = d2[:, 4] < m.neighbor_radius ** 2
 
     nb = surf_map.xyz[idx]                               # (N,5,3)
-    # plane fit A·n = −1  (:1146-1153): 3×3 normal equations
-    AtA = jnp.einsum("nki,nkj->nij", nb, nb)
-    Atb = -jnp.sum(nb, axis=1)
-    n = solve3(AtA + 1e-8 * jnp.eye(3), Atb)
-    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
-    n_unit = n / jnp.maximum(norm, 1e-12)
-    pd = 1.0 / jnp.maximum(norm[..., 0], 1e-12)
+    # exact-gate as in _corner_assoc
+    d2_exact = jnp.sum((nb - world[:, None, :]) ** 2, axis=-1)
+    invalid5 = d2[:, 4] >= 1e30
+    near_ok = (jnp.max(d2_exact, axis=1) < m.neighbor_radius ** 2) \
+        & ~invalid5
+    # Plane fit: centred covariance, normal = smallest eigenvector.  The
+    # reference solves A·n = −1 on RAW map coordinates (:1146-1153),
+    # whose normal equations condition as (‖p‖/spread)² — in f32 the
+    # normal estimate visibly degrades hundreds of metres from the
+    # origin.  The centred eigen-fit is the same plane, exactly
+    # conditioned at any offset (difference-first), reusing the
+    # closed-form 3×3 eig the corner path already uses.
+    centroid = jnp.mean(nb, axis=1)
+    dnb = nb - centroid[:, None, :]
+    cov = jnp.einsum("nki,nkj->nij", dnb, dnb) / 5.0
+    evals = eigvals_sym3(cov)
+    n_unit = principal_eigvec_sym3(cov, evals[:, 0])     # smallest
+    pd = -jnp.einsum("ni,ni->n", n_unit, centroid)
 
-    plane_dev = jnp.abs(jnp.einsum("nki,ni->nk", nb, n_unit)
-                        + pd[:, None])
+    plane_dev = jnp.abs(jnp.einsum("nki,ni->nk", dnb, n_unit))
     plane_ok = jnp.all(plane_dev <= m.plane_fit_tolerance, axis=1)
 
-    dist = jnp.einsum("ni,ni->n", world, n_unit) + pd    # signed
+    dist = jnp.einsum("ni,ni->n", world - centroid, n_unit)  # signed
     local_rng = jnp.linalg.norm(pts, axis=-1)
     w = 1.0 - 0.9 * jnp.abs(dist) / jnp.sqrt(
         jnp.sqrt(jnp.maximum(local_rng, 1e-9)))          # :1180-1184
