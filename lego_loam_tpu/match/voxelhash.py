@@ -86,13 +86,14 @@ def voxel_downsample(xyz: Array, valid: Array, leaf: float, capacity: int):
     seg = jnp.where(vs, seg, capacity)                     # drop invalid
 
     w = vs.astype(xyz.dtype)
-    sums = jax.ops.segment_sum(xs * w[:, None], seg,
+    cat = jnp.concatenate([xs, jnp.ones_like(w[:, None])], axis=-1)
+    sums = jax.ops.segment_sum(cat * w[:, None], seg,
                                num_segments=capacity + 1)[:capacity]
-    cnts = jax.ops.segment_sum(w, seg, num_segments=capacity + 1)[:capacity]
+    cnts = sums[:, -1]
     n_vox = jnp.sum(new_voxel)
     out_valid = jnp.arange(capacity) < jnp.minimum(n_vox, capacity)
     out_xyz = jnp.where(out_valid[:, None],
-                        sums / jnp.maximum(cnts, 1.0)[:, None], 0.0)
+                        sums[:, :3] / jnp.maximum(cnts, 1.0)[:, None], 0.0)
     return out_xyz, out_valid
 
 
@@ -170,12 +171,14 @@ def voxel_downsample_with_payload(xyz: Array, payload: Array, valid: Array,
     seg = jnp.where(vs, seg, capacity)
 
     w = vs.astype(xyz.dtype)
-    cat = jnp.concatenate([xs, ps], axis=-1)
+    # ONE segment-sum for [coords | payload | count] — TPU scatters pay
+    # per index, not per channel
+    cat = jnp.concatenate([xs, ps, jnp.ones_like(w[:, None])], axis=-1)
     sums = jax.ops.segment_sum(cat * w[:, None], seg,
                                num_segments=capacity + 1)[:capacity]
-    cnts = jax.ops.segment_sum(w, seg, num_segments=capacity + 1)[:capacity]
+    cnts = sums[:, -1]
     n_vox = jnp.sum(new_voxel)
     out_valid = jnp.arange(capacity) < jnp.minimum(n_vox, capacity)
     mean = jnp.where(out_valid[:, None],
-                     sums / jnp.maximum(cnts, 1.0)[:, None], 0.0)
+                     sums[:, :-1] / jnp.maximum(cnts, 1.0)[:, None], 0.0)
     return mean[:, :3], mean[:, 3:], out_valid
