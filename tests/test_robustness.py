@@ -1,0 +1,112 @@
+"""Degenerate-input robustness + submap grid semantics."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lego_loam_tpu.core.config import vlp16
+from lego_loam_tpu.core.types import RawScan
+from lego_loam_tpu.graph import submap_grid
+
+CFG = vlp16()
+
+
+def test_degenerate_scans_no_nan():
+    """Empty and single-point scans must flow through the full pipeline
+    without NaNs (the reference's min-feature gates,
+    ``featureAssociation.cpp:1214``, ``mapOptmization.cpp:1316``)."""
+    from lego_loam_tpu.pipeline.slam import init_state, slam_step_impl
+
+    step = jax.jit(lambda s, r: slam_step_impl(s, r, CFG))
+    state = init_state(CFG)
+    P = CFG.pipeline.max_points
+    empty = RawScan(xyz=jnp.zeros((P, 3)), valid=jnp.zeros((P,), bool),
+                    stamp=jnp.float32(0.0))
+    one = RawScan(
+        xyz=jnp.zeros((P, 3)).at[0].set(jnp.asarray([5.0, 0.0, -0.8])),
+        valid=jnp.zeros((P,), bool).at[0].set(True),
+        stamp=jnp.float32(0.1))
+    for raw in (empty, one, empty, one):
+        state, out = step(state, raw)
+        assert np.isfinite(np.asarray(out["fused"])).all()
+        assert np.isfinite(np.asarray(out["odom"])).all()
+
+
+def _insert_frame(grid, tag, pose, pts):
+    n = len(pts)
+    corner = jnp.zeros((8, 3)).at[:n].set(pts)
+    cv = jnp.zeros((8,), bool).at[:n].set(True)
+    empty = jnp.zeros((4, 3))
+    ev = jnp.zeros((4,), bool)
+    return submap_grid.insert(
+        grid, jnp.int32(tag), jnp.asarray(pose, jnp.float32),
+        corner, cv, empty, ev, empty, ev, CFG, window=3)
+
+
+def test_submap_grid_centroid_and_window():
+    grid = submap_grid.empty_grid(CFG)
+    ident = np.zeros(6, np.float32)
+
+    # two keyframes drop points into the SAME voxel -> centroid of both
+    grid = _insert_frame(grid, 0, ident, np.array([[10.0, 10.0, 1.0]]))
+    grid = _insert_frame(grid, 1, ident, np.array([[10.05, 10.05, 1.0]]))
+    corner_map, _ = submap_grid.maps(grid, jnp.int32(2), window=3)
+    pts = np.asarray(corner_map.xyz)[np.asarray(corner_map.valid)]
+    assert len(pts) == 1
+    np.testing.assert_allclose(pts[0], [10.025, 10.025, 1.0], atol=1e-5)
+
+    # a far-away keyframe; after the window slides past the early tags,
+    # only its voxel stays live
+    grid = _insert_frame(grid, 2, ident, np.array([[-20.0, 5.0, 0.5]]))
+    grid = _insert_frame(grid, 3, ident, np.array([[-20.0, 5.0, 0.5]]))
+    grid = _insert_frame(grid, 4, ident, np.array([[-20.0, 5.0, 0.5]]))
+    corner_map, _ = submap_grid.maps(grid, jnp.int32(5), window=3)
+    pts = np.asarray(corner_map.xyz)[np.asarray(corner_map.valid)]
+    assert len(pts) == 1
+    np.testing.assert_allclose(pts[0], [-20.0, 5.0, 0.5], atol=1e-5)
+
+    # pose applies: sensor-frame point transformed to world
+    grid2 = submap_grid.empty_grid(CFG)
+    pose = np.array([0, 0, 0, 100.0, -50.0, 2.0], np.float32)
+    grid2 = _insert_frame(grid2, 0, pose, np.array([[1.0, 2.0, 3.0]]))
+    cm, _ = submap_grid.maps(grid2, jnp.int32(1), window=3)
+    pts = np.asarray(cm.xyz)[np.asarray(cm.valid)]
+    np.testing.assert_allclose(pts[0], [101.0, -48.0, 5.0], atol=1e-5)
+
+
+def test_submap_grid_rebuild_matches_inserts():
+    """rebuild() from the keyframe store must reproduce the same live
+    map as the incremental inserts (loop-closure path)."""
+    from lego_loam_tpu.graph.keyframes import empty_store, insert_keyframe
+
+    rng = np.random.default_rng(0)
+    store = empty_store(CFG)
+    grid = submap_grid.empty_grid(CFG)
+    W = CFG.mapping.surrounding_keyframe_search_num
+    for k in range(4):
+        pose = jnp.asarray([0, 0, 0, 3.0 * k, 0, 0], jnp.float32)
+        pts = rng.uniform(-4, 4, (32, 3)).astype(np.float32)
+        corner = jnp.zeros((1024, 3)).at[:32].set(pts)
+        cv = jnp.zeros((1024,), bool).at[:32].set(True)
+        surf = jnp.zeros((2048, 3))
+        sv = jnp.zeros((2048,), bool)
+        out = jnp.zeros((512, 3))
+        ov = jnp.zeros((512,), bool)
+        s2 = jnp.zeros((512, 3))
+        s2v = jnp.zeros((512,), bool)
+        store = insert_keyframe(store, pose, jnp.float32(k), corner, cv,
+                                surf, sv, out, ov, s2, s2v)
+        grid = submap_grid.insert(grid, jnp.int32(k), pose, corner, cv,
+                                  surf, sv, out, ov, CFG, window=W)
+
+    rebuilt = submap_grid.rebuild(store.pose, store.count, store.clouds,
+                                  CFG, window=W)
+    m_inc, _ = submap_grid.maps(grid, store.count, window=W)
+    m_reb, _ = submap_grid.maps(rebuilt, store.count, window=W)
+    inc = np.asarray(m_inc.xyz)[np.asarray(m_inc.valid)]
+    reb = np.asarray(m_reb.xyz)[np.asarray(m_reb.valid)]
+    assert inc.shape == reb.shape
+    # same centroids regardless of accumulation order (sorted compare)
+    inc = inc[np.lexsort(inc.T)]
+    reb = reb[np.lexsort(reb.T)]
+    np.testing.assert_allclose(inc, reb, atol=1e-5)
