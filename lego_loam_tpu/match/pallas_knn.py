@@ -1,39 +1,32 @@
 """Pallas TPU kernel: fused distance + 5-NN selection in VMEM.
 
 The scan-to-map association (``cornerOptimization``/``surfOptimization``,
-``mapOptmization.cpp:1028-1197``) needs 5-NN of ~2 K corner / ~2 K surf
-query points against 16 K / 32 K-slot map grids, EVERY Gauss-Newton
-iteration.  Through XLA (``knn_chunked``: matmul + ``approx_min_k``) the
-(Q, M) f32 distance matrix materializes in HBM — ~335 MB per iteration,
-~4.2 ms of pure HBM traffic per mapping cycle, the single largest cost
-in the pipeline.
+``mapOptmization.cpp:1028-1197``) needs 5-NN of ~1-2 K query points
+against 16 K / 32 K-slot map grids, EVERY Gauss-Newton iteration.
+Through XLA (``knn_chunked``: matmul + ``approx_min_k``) the (Q, M) f32
+distance matrix materializes in HBM — ~335 MB per iteration of pure HBM
+traffic, the single largest cost in the pipeline.
 
-This kernel never materializes the matrix: per 2048-candidate block it
-computes the distance tile in VMEM (one small MXU matmul), packs each
-entry into an int32 sort key ``quantized_distance << 15 | candidate_id``
-(2 mm quantization to 131 m; ties resolve to the lower id,
-deterministically), reduces 16-way group minima, and extracts the block's
-top-5 keys; a final extraction over all block winners yields the global
-top-5.  HBM traffic: queries + candidates + (Q, 8) keys ≈ 0.5 MB.
+This kernel never materializes the matrix.  Grid = (query tiles ×
+candidate blocks); for each 2048-candidate block it computes the
+distance tile in VMEM with per-axis broadcast differences (exact f32 at
+ANY world offset — difference before squaring; the ‖a‖²+‖b‖²−2a·b form
+cancels catastrophically, see ``bruteforce.pairwise_sqdist``), packs
+each entry into an int32 sort key ``quantized_distance << 15 |
+candidate_id`` (2 mm quantization to 131 m; ties resolve to the lower
+id, deterministically), reduces 16-way strided group minima, and merges
+the block's top-5 into a running top-5 carried in VMEM scratch across
+the block dimension of the grid.  HBM traffic: queries + candidates +
+(Q, 8) keys ≈ 0.5 MB.
 
 Selection is approximate in exactly one way: if two of the true top-5
-fall in the same 16-candidate group of the same block, the second is
-shadowed (probability ≲1 % per neighbourhood for hash-ordered candidate
-slots — the same class as the recall-0.99 ``approx_min_k`` it replaces;
-the reference's KD-tree is exact, and the eigen/plane-fit gates absorb a
-rare 5th-neighbour swap).  Returned distances ARE exact: the winners'
-squared distances are recomputed outside the kernel in f32.
-
-STATUS — correct but not yet wired into the pipeline: on the axon v5e
-the current form (16 statically-unrolled candidate blocks × 5
-extraction passes) compiles for minutes through the remote Mosaic
-helper and runs ~0.5 ms/call, LOSING to the fixed-precision
-``knn_chunked`` (153 vs 225 scans/s end to end).  The win it targets
-(never materializing the (Q, M) f32 distance matrix — ~335 MB/GN
-iteration of HBM traffic) is real; the kernel needs a fori_loop body
-with VMEM scratch accumulation instead of the unroll before it pays.
-Kept with its oracle test (tests/test_pallas_knn.py) as the starting
-point for that rework.
+fall in the same 16-lane tournament group of the same block, the second
+is shadowed (≲1 % of neighbourhoods at M = 16-32 K for hash-ordered
+candidate slots — the same class as the recall-0.99 ``approx_min_k``
+it replaces; the reference's KD-tree is exact, and the eigen/plane-fit
+gates absorb a rare 5th-neighbour swap).  The nearest neighbour is
+never shadowed.  Returned distances ARE exact: the winners' squared
+distances are recomputed outside the kernel, difference-first, in f32.
 """
 
 from __future__ import annotations
@@ -50,7 +43,7 @@ Array = jax.Array
 
 _TQ = 256              # query tile rows
 _CB = 2048             # candidate block
-_GROUP = 16            # tournament group width
+_GROUP = 16            # tournament group width (strided over lanes)
 _IDX_BITS = 15         # candidate id bits (M <= 32768)
 _D_SCALE = 500.0       # 2 mm quantization: 65535 / 131.072 m
 _INTMAX = np.int32(2 ** 31 - 1)
@@ -58,52 +51,53 @@ _FAR = np.float32(1e9)           # coordinate sentinel for invalid slots
 _INF = np.float32(3e38)
 
 
-def _kernel(q_ref, c_ref, out_ref, *, n_blocks):
-    # coordinates transposed outside to (3, N): per-axis rows broadcast
-    # against query columns with no matmul — 9 VPU passes per block,
-    # exact f32 at ANY world offset (difference before squaring; the
-    # ‖a‖²+‖b‖²−2a·b form cancels catastrophically — see
-    # bruteforce.pairwise_sqdist)
-    qx = q_ref[0, :][:, None]                            # (TQ, 1)
-    qy = q_ref[1, :][:, None]
-    qz = q_ref[2, :][:, None]
+def _kernel(q_ref, c_ref, out_ref, run_ref):
+    j = pl.program_id(1)
+    nb = pl.num_programs(1)
 
-    tops = []
-    for b in range(n_blocks):                            # static unroll
-        cx = c_ref[0, pl.ds(b * _CB, _CB)][None, :]      # (1, CB)
-        cy = c_ref[1, pl.ds(b * _CB, _CB)][None, :]
-        cz = c_ref[2, pl.ds(b * _CB, _CB)][None, :]
-        dx = qx - cx
-        dy = qy - cy
-        dz = qz - cz
-        d2 = dx * dx + dy * dy + dz * dz                 # (TQ, CB)
-        dq = jnp.minimum(jnp.sqrt(d2) * _D_SCALE, 65535.0)
-        ids = jax.lax.broadcasted_iota(jnp.int32, (_TQ, _CB), 1) \
-            + (b * _CB)
-        key = (dq.astype(jnp.int32) << _IDX_BITS) | (ids & 0x7FFF)
+    @pl.when(j == 0)
+    def _():
+        run_ref[:] = jnp.full((_TQ, 8), _INTMAX, jnp.int32)
 
-        # 16-way tournament: STRIDED groups (lane g, g+128, g+256, …) —
-        # pure lane slices + elementwise mins (Mosaic cannot reshape
-        # lanes into sublanes); group membership statistics are the same
-        gmin = key[:, 0:128]
-        for i in range(1, _GROUP):
-            gmin = jnp.minimum(gmin, key[:, i * 128:(i + 1) * 128])
-        cols = []
-        for _ in range(5):
-            m5 = jnp.min(gmin, axis=1, keepdims=True)    # (TQ, 1)
-            cols.append(m5)
-            gmin = jnp.where(gmin == m5, _INTMAX, gmin)
-        cols.append(jnp.full((_TQ, 3), _INTMAX, jnp.int32))
-        tops.append(jnp.concatenate(cols, axis=1))       # (TQ, 8)
+    # q block is (TQ, 3): coordinate columns are natural sublane
+    # slices (a (3, TQ) layout would need a lane->sublane transpose per
+    # grid step - measured 1000x slower)
+    qx = q_ref[:, 0:1]                                   # (TQ, 1)
+    qy = q_ref[:, 1:2]
+    qz = q_ref[:, 2:3]
+    cx = c_ref[0:1, :]                                   # (1, CB)
+    cy = c_ref[1:2, :]
+    cz = c_ref[2:3, :]
+    dx = qx - cx
+    dy = qy - cy
+    dz = qz - cz
+    d2 = dx * dx + dy * dy + dz * dz                     # (TQ, CB)
+    dq = jnp.minimum(jnp.sqrt(d2) * _D_SCALE, 65535.0)
+    ids = jax.lax.broadcasted_iota(jnp.int32, (_TQ, _CB), 1) + j * _CB
+    key = (dq.astype(jnp.int32) << _IDX_BITS) | (ids & 0x7FFF)
 
-    all_keys = jnp.concatenate(tops, axis=1)             # (TQ, 8·nb)
+    gmin = key[:, 0:128]
+    for i in range(1, _GROUP):
+        gmin = jnp.minimum(gmin, key[:, i * 128:(i + 1) * 128])
+
+    # merge block's top-5 (extracted from the group minima) with the
+    # running top-5: 5 rounds of min over both pools
+    run = run_ref[:]                                     # (TQ, 8)
     outs = []
     for _ in range(5):
-        m5 = jnp.min(all_keys, axis=1, keepdims=True)
-        outs.append(m5)
-        all_keys = jnp.where(all_keys == m5, _INTMAX, all_keys)
-    outs.append(jnp.full((_TQ, 3), _INTMAX, jnp.int32))
-    out_ref[:] = jnp.concatenate(outs, axis=1)           # (TQ, 8)
+        m_b = jnp.min(gmin, axis=1, keepdims=True)       # (TQ, 1)
+        m_r = jnp.min(run, axis=1, keepdims=True)
+        m = jnp.minimum(m_b, m_r)
+        outs.append(m)
+        gmin = jnp.where(gmin == m, _INTMAX, gmin)
+        run = jnp.where(run == m, _INTMAX, run)
+    new_run = jnp.concatenate(
+        outs + [jnp.full((_TQ, 3), _INTMAX, jnp.int32)], axis=1)
+    run_ref[:] = new_run
+
+    @pl.when(j == nb - 1)
+    def _():
+        out_ref[:] = new_run
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -123,21 +117,22 @@ def knn5_pallas(query: Array, query_valid: Array, cand: Array,
     n_blocks = M // _CB
 
     qpad = (-Q) % _TQ
-    q = jnp.pad(query, ((0, qpad), (0, 0))).T            # (3, Q+pad)
+    q = jnp.pad(query, ((0, qpad), (0, 0)))              # (Q+pad, 3)
     c = jnp.where(cand_valid[:, None], cand, _FAR).T     # (3, M)
 
     keys = pl.pallas_call(
-        functools.partial(_kernel, n_blocks=n_blocks),
-        grid=((Q + qpad) // _TQ,),
+        _kernel,
+        grid=((Q + qpad) // _TQ, n_blocks),
         in_specs=[
-            pl.BlockSpec((3, _TQ), lambda i: (0, i),
+            pl.BlockSpec((_TQ, 3), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, M), lambda i: (0, 0),
+            pl.BlockSpec((3, _CB), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_TQ, 8), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((_TQ, 8), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Q + qpad, 8), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((_TQ, 8), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
     )(q, c)[:Q, :5]
