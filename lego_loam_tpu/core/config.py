@@ -146,6 +146,14 @@ class MappingConfig:
     outlier_leaf_size: float = 0.4
     surrounding_pose_leaf_size: float = 1.0
     scan2map_iters: int = 10                   # :1323
+    # The reference re-runs the per-point 5-NN KD searches on EVERY
+    # scan-to-map iteration (mapOptmization.cpp:1325-1327).  Between late
+    # GN iterations the pose moves <0.05 deg / <0.5 mm, so the
+    # neighbourhoods are identical; re-associating every 2nd iteration
+    # (re-fitting lines/planes from the FROZEN neighbour indices in
+    # between) halves the dominant kNN cost for no measured ATE change.
+    # Set to 1 to restore the reference's per-iteration behaviour.
+    scan2map_reassoc_every: int = 2
     degeneracy_eig_threshold: float = 100.0    # :1274
     delta_r_converged_deg: float = 0.05        # :1297
     delta_t_converged_cm: float = 0.05         # :1299

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import functools
 import math
+from typing import Optional
 
 import jax
 import numpy as np
@@ -178,20 +179,34 @@ def _relative_time(img: RangeImage) -> Array:
     return jnp.clip(rel, 0.0, 1.0)
 
 
-def _compact_rows(include: Array, fields: dict, capacity: int):
+def _compact_rows(include: Array, fields: dict, capacity: int,
+                  extra_include: Optional[Array] = None,
+                  extra_capacity: int = 0):
     """Left-compact each row of (V,H) arrays by ``include``, preserving
     column order.  Returns compacted fields + per-row counts.
 
     All fields are packed into one (VH, C) payload and moved with a SINGLE
     scatter (destination = row·capacity + per-row rank): TPU scatters pay
     per index, not per channel, so this replaces an argsort plus one gather
-    per field."""
+    per field.
+
+    ``extra_include`` (disjoint from ``include``) rides the SAME scatter
+    into a trailing ``extra_capacity``-row block, compacted globally in
+    flat pixel order — one scatter instead of two (each 28.8 K-index
+    scatter costs ~0.25 ms on TPU).  Returns an extra
+    ``(extra_capacity, C) float32`` payload block + its count."""
     V, H = include.shape
     count = jnp.sum(include, axis=1).astype(jnp.int32)
     pos = jnp.cumsum(include, axis=1) - 1                   # per-row rank
     rows = jax.lax.broadcasted_iota(jnp.int32, (V, H), 0)
+    total = V * capacity + extra_capacity
     dest = jnp.where(include & (pos < capacity),
-                     rows * capacity + pos, V * capacity)   # ⇒ dropped
+                     rows * capacity + pos, total).reshape(-1)  # ⇒ dropped
+    if extra_include is not None:
+        eflat = extra_include.reshape(-1)
+        epos = jnp.cumsum(eflat) - 1
+        dest = jnp.where(eflat & (epos < extra_capacity),
+                         V * capacity + epos, dest)
 
     packed, splits, shapes = [], [], {}
     for k, v in fields.items():
@@ -200,10 +215,11 @@ def _compact_rows(include: Array, fields: dict, capacity: int):
         splits.append(flat.shape[1])
         packed.append(flat)
     payload = jnp.concatenate(packed, axis=1)               # (VH, C)
-    gathered = jnp.zeros((V * capacity, payload.shape[1]), jnp.float32
-                         ).at[dest.reshape(-1)].set(
+    gathered = jnp.zeros((total, payload.shape[1]), jnp.float32
+                         ).at[dest].set(
         payload, mode="drop", unique_indices=True)
-    gathered = gathered.reshape(V, capacity, -1)
+    extra_block = gathered[V * capacity:]
+    gathered = gathered[:V * capacity].reshape(V, capacity, -1)
 
     out, off = {}, 0
     for k, w in zip(fields.keys(), splits):
@@ -214,7 +230,10 @@ def _compact_rows(include: Array, fields: dict, capacity: int):
         off += w
     pos_c = jax.lax.broadcasted_iota(jnp.int32, (V, capacity), 1)
     valid = pos_c < count[:, None]
-    return out, count, valid
+    if extra_include is None:
+        return out, count, valid
+    extra_count = jnp.sum(extra_include).astype(jnp.int32)
+    return out, count, valid, extra_block, extra_count
 
 
 @functools.partial(jax.jit, static_argnames="cfg")
@@ -241,25 +260,23 @@ def segment_cloud(img: RangeImage, raw_stamp: Array,
     outlier_px = (segmentable & ~seg_ok & (rows > G) & (cols % dec == 0))
 
     rel = _relative_time(img)
-    fields, count, valid = _compact_rows(
+    # outlier pixels (above-ground invalid segments) are DISJOINT from
+    # ``include`` (seg_ok ∨ ground), so they ride the same scatter into a
+    # trailing block instead of paying for a second 28.8 K-index scatter.
+    O = cfg.pipeline.max_outlier
+    fields, count, valid, out_block, out_count = _compact_rows(
         include,
         dict(xyz=img.xyz, rng=img.rng, col=cols,
              ground=img.ground, rel=rel),
-        capacity=H)
+        capacity=H, extra_include=outlier_px, extra_capacity=O)
 
     segmented = SegmentedCloud(
         xyz=fields["xyz"], rng=fields["rng"], col=fields["col"],
         is_ground=fields["ground"], valid=valid, count=count,
         rel_time=fields["rel"])
 
-    # outliers: flatten and compact to fixed capacity (single scatter)
-    O = cfg.pipeline.max_outlier
-    flat_out = outlier_px.reshape(-1)
-    opos = jnp.cumsum(flat_out) - 1
-    odest = jnp.where(flat_out & (opos < O), opos, O)
-    out_xyz = jnp.zeros((O, 3), jnp.float32).at[odest].set(
-        img.xyz.reshape(-1, 3), mode="drop", unique_indices=True)
-    out_valid = (jnp.arange(O) < jnp.sum(flat_out))
+    out_xyz = out_block[:, 0:3]                  # xyz = first payload cols
+    out_valid = (jnp.arange(O) < out_count)
 
     scan2d_xyz, scan2d_valid = virtual_scan_2d(img, cfg)
 

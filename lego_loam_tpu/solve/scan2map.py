@@ -135,15 +135,29 @@ def scan_to_map(pose0: Array, corner_pts: Array, corner_valid: Array,
     enough = ((jnp.sum(corner_map.valid) > m.min_corner_map)
               & (jnp.sum(surf_map.valid) > m.min_surf_map))
 
-    def body(state):
-        pose, P, degenerate, it, _ = state
-
-        # associate once per iteration (constants for the GN step, like the
-        # reference's per-iteration KD searches, :1325-1327)
+    def assoc(pose):
         centroid, u, wc = _corner_assoc(pose, corner_pts, corner_valid,
                                         corner_map, cfg)
         n_pl, pd, ws = _surf_assoc(pose, surf_pts, surf_valid,
                                    surf_map, cfg)
+        return centroid, u, wc, n_pl, pd, ws
+
+    def body(state):
+        pose, P, degenerate, it, _, A = state
+
+        # Associate every ``scan2map_reassoc_every`` iterations (constants
+        # for the GN steps in between).  The reference re-runs its KD
+        # searches every iteration (:1325-1327) — equivalent to =1 here —
+        # but late-iteration pose deltas are below the convergence
+        # thresholds (0.05 deg / 0.05 cm), so the 5-NN sets don't change;
+        # the dominant kNN matmuls are the single biggest op in the whole
+        # pipeline (~20% of device time at =1).
+        if m.scan2map_reassoc_every > 1:
+            A = jax.lax.cond(it % m.scan2map_reassoc_every == 0,
+                             lambda: assoc(pose), lambda: A)
+        else:
+            A = assoc(pose)
+        centroid, u, wc, n_pl, pd, ws = A
         n_sel = jnp.sum(wc > 0) + jnp.sum(ws > 0)
 
         def r_weighted(p):
@@ -181,15 +195,20 @@ def scan_to_map(pose0: Array, corner_pts: Array, corner_valid: Array,
         d_tr = jnp.sqrt(jnp.sum(dx[3:] ** 2))
         converged = ((jnp.degrees(d_rot) < m.delta_r_converged_deg)
                      & (d_tr * 100.0 < m.delta_t_converged_cm))
-        return pose, P, degenerate, it + 1, converged
+        return pose, P, degenerate, it + 1, converged, A
 
     def cond(state):
-        _, _, _, it, converged = state
+        _, _, _, it, converged, _ = state
         return (it < m.scan2map_iters) & ~converged
 
     def solve(p0):
+        f32 = jnp.float32
+        nc, ns = corner_pts.shape[0], surf_pts.shape[0]
+        a0 = (jnp.zeros((nc, 3), f32), jnp.zeros((nc, 3), f32),
+              jnp.zeros((nc,), f32), jnp.zeros((ns, 3), f32),
+              jnp.zeros((ns,), f32), jnp.zeros((ns,), f32))
         init = (p0, jnp.eye(6, dtype=p0.dtype), jnp.bool_(False),
-                jnp.int32(0), jnp.bool_(False))
+                jnp.int32(0), jnp.bool_(False), a0)
         pose, *_ = jax.lax.while_loop(cond, body, init)
         return pose
 
