@@ -79,17 +79,35 @@ def main():
             jax.block_until_ready(outs)
         log(f"profiler trace written to {profile_dir}")
 
-    # Time several runs, each with a distinct (work-neutral) input
-    # perturbation, and sync via a device→host transfer:
-    # jax.block_until_ready can return at ENQUEUE time on the axon
-    # tunnel backend, which reads as a bogus ~0 ms/scan; np.asarray of an
-    # output cannot complete before the computation truly finished.
+    # A second, genuinely different sequence (different seed => different
+    # trajectory/world) shares the compiled executable (same shapes) and
+    # guards the timing against warm-path artifacts of re-running one
+    # trajectory (VERDICT r1 weak #6).
+    cache2 = cache.replace(".npz", "_b.npz")
+    if os.path.exists(cache2):
+        with np.load(cache2) as z:
+            scans2 = [z[f"s{i}"] for i in range(n_scans)]
+            gt2, times2 = z["gt"], z["times"]
+    else:
+        log(f"generating {n_scans} scans (seed 1337)…")
+        scans2, gt2, times2 = make_sequence(n_scans, cfg, seed=1337,
+                                            noise=0.01, speed=1.2)
+        np.savez(cache2, n=n_scans, gt=gt2, times=times2,
+                 **{f"s{i}": s for i, s in enumerate(scans2)})
+    xyz2, valid2, t2 = jax.device_put(pack_sequence(scans2, times2, cfg))
+
+    # Time several runs, alternating distinct sequences, and sync via a
+    # device→host transfer: jax.block_until_ready can return at ENQUEUE
+    # time on the axon tunnel backend, which reads as a bogus ~0 ms/scan;
+    # np.asarray of an output cannot complete before the computation
+    # truly finished.
     dts = []
-    for i in range(3):
-        xyz_i = xyz.at[0, 0].add(1e-6 * (i + 1))
-        np.asarray(xyz_i[0, :2])
+    for i, (x_i, v_i, t_i) in enumerate(
+            ((xyz, valid, t), (xyz2, valid2, t2), (xyz, valid, t))):
+        x_i = x_i.at[0, 0].add(1e-6 * (i + 1))
+        np.asarray(x_i[0, :2])
         t0 = time.time()
-        final_state, outs = replay(xyz_i, valid, t, cfg)
+        final_state, outs = replay(x_i, v_i, t_i, cfg)
         np.asarray(outs["fused"][-1])
         dts.append(time.time() - t0)
     dt = sorted(dts)[1]
@@ -122,6 +140,12 @@ def main():
         except Exception as e:
             log(f"multi-stream mode failed ({type(e).__name__}: {e}); "
                 "reporting single-stream number")
+
+    kf = int(final_state.mapping.store.count)
+    fc = int(final_state.mapping.factor_count)
+    log(f"keyframes {kf}  factors {fc}  loop_factors {max(fc - kf + 1, 0)}"
+        f"  kf_dropped {int(final_state.mapping.meta.kf_dropped)}"
+        f"  factor_dropped {int(final_state.mapping.meta.factor_dropped)}")
 
     fused = np.asarray(outs["fused"])
     gt_j = jnp.asarray(gt)

@@ -78,6 +78,21 @@ def main():
     print(f"{'amortized/scan (map/5)':32s} {amortized * 1000:8.3f} ms "
           f"-> {1 / amortized:.1f} scans/s upper bound")
 
+    out_path = os.environ.get("STAGE_TIMING_OUT")
+    if out_path:
+        import json
+        with open(out_path, "w") as f:
+            json.dump({
+                "backend": jax.default_backend(),
+                "stage1_projection_segmentation_ms": round(t_proj * 1e3, 3),
+                "stage2_odometry_ms": round(t_odo * 1e3, 3),
+                "stage3_mapping_ms": round(t_map * 1e3, 3),
+                "mapping_divider": divider,
+                "amortized_per_scan_ms": round(amortized * 1e3, 3),
+                "upper_bound_scans_per_sec": round(1 / amortized, 1),
+            }, f, indent=2)
+        print(f"wrote {out_path}")
+
 
 if __name__ == "__main__":
     main()

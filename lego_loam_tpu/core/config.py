@@ -147,12 +147,14 @@ class MappingConfig:
     surrounding_pose_leaf_size: float = 1.0
     scan2map_iters: int = 10                   # :1323
     # The reference re-runs the per-point 5-NN KD searches on EVERY
-    # scan-to-map iteration (mapOptmization.cpp:1325-1327).  Between late
-    # GN iterations the pose moves <0.05 deg / <0.5 mm, so the
-    # neighbourhoods are identical; re-associating every 2nd iteration
-    # (re-fitting lines/planes from the FROZEN neighbour indices in
-    # between) halves the dominant kNN cost for no measured ATE change.
-    # Set to 1 to restore the reference's per-iteration behaviour.
+    # scan-to-map iteration (mapOptmization.cpp:1325-1327) — that is
+    # =1 here.  Setting >1 freezes the ENTIRE association (neighbour
+    # fits and weights, not just indices) between re-associations via
+    # lax.cond; convergence may then only be declared on iterations
+    # that ran a fresh association (solve/scan2map.py), so the solver
+    # can never exit against stale correspondences.  =2 measures +7%
+    # end-to-end (246 vs 231 scans/s, r2 A/B) for no ATE change on the
+    # 2000-scan stress; set 1 for exact reference cadence.
     scan2map_reassoc_every: int = 2
     degeneracy_eig_threshold: float = 100.0    # :1274
     delta_r_converged_deg: float = 0.05        # :1297
@@ -163,6 +165,14 @@ class MappingConfig:
     corner_line_eig_ratio: float = 3.0         # :1082 (λmax > 3 λmid)
     plane_fit_tolerance: float = 0.2           # :1170
     neighbor_radius: float = 1.0               # :1076 (5-NN all within 1 m)
+    # scan-to-map 5-NN backend: "xla" (MXU distance matrix +
+    # hardware approx_min_k) or "pallas" (fused VMEM kernel that never
+    # materializes the matrix).  Measured on the v5e (r2 A/B, 200-scan
+    # full pipeline): xla 246 scans/s vs pallas 172 at reassoc=2 — the
+    # fused kernel computes distances on the VPU (~200M ops/call),
+    # while the XLA path puts the cross-term on the MXU and the top-k
+    # in hardware; its (Q,M) HBM matrix (~268 MB) costs only ~0.3 ms.
+    knn_impl: str = "xla"
     # fixed capacities
     max_map_corner: int = 16384
     max_map_surf: int = 32768
@@ -199,8 +209,12 @@ class Grid2DConfig:
     clamp_min: int = 0
     clamp_max: int = 100
     unknown: int = 50
-    max_cells: int = 1024           # grid side length (cells)
-    max_ray_steps: int = 512        # vectorized DDA step cap
+    max_cells: int = 1024           # grid side length (cells); artifact
+    #   emission picks a larger power-of-two bucket to cover the whole
+    #   trajectory bbox (eval/artifacts.py), so this is the floor
+    max_ray_steps: int = 1024       # DDA step cap; must cover the 40 m
+    #   virtual-scan range at 0.05 m (800 cells) or long rays mark their
+    #   endpoint occupied without carving free space
     max_scan_points: int = 1800     # one per azimuth column
 
 

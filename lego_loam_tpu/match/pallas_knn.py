@@ -4,10 +4,21 @@ The scan-to-map association (``cornerOptimization``/``surfOptimization``,
 ``mapOptmization.cpp:1028-1197``) needs 5-NN of ~1-2 K query points
 against 16 K / 32 K-slot map grids, EVERY Gauss-Newton iteration.
 Through XLA (``knn_chunked``: matmul + ``approx_min_k``) the (Q, M) f32
-distance matrix materializes in HBM — ~335 MB per iteration of pure HBM
-traffic, the single largest cost in the pipeline.
+distance matrix materializes in HBM (~268 MB per iteration).
 
-This kernel never materializes the matrix.  Grid = (query tiles ×
+**Measured verdict (r2 A/B on the v5e, 200-scan full pipeline): the XLA
+path WINS — 246 vs 172 scans/s end-to-end.**  This kernel avoids the
+HBM matrix but computes every distance with per-axis broadcast
+differences on the VPU (~200M vector ops per call); the XLA path does
+the cross-term on the MXU (~0.05 ms) and the top-k in dedicated
+hardware, and the big matrix streams at HBM bandwidth (~0.3 ms) — cheap
+enough that compute placement, not traffic, decides.  The kernel is
+kept as a correct, tested alternative (``MappingConfig.knn_impl =
+"pallas"``); a future variant could put the distance compute itself on
+the MXU inside the kernel (pad K 3→128; ~40× pad waste still beats the
+VPU) — not pursued because approx_min_k already wins.
+
+The kernel never materializes the matrix.  Grid = (query tiles ×
 candidate blocks); for each 2048-candidate block it computes the
 distance tile in VMEM with per-axis broadcast differences (exact f32 at
 ANY world offset — difference before squaring; the ‖a‖²+‖b‖²−2a·b form
@@ -148,10 +159,16 @@ def knn5_pallas(query: Array, query_valid: Array, cand: Array,
     return idx, d2
 
 
-def knn5(query: Array, query_valid: Array, cand: Array, cand_valid: Array):
-    """Dispatch: fused Pallas kernel on TPU, exact MXU brute force
-    elsewhere (CPU tests)."""
-    if (jax.default_backend() == "tpu" and cand.shape[0] % _CB == 0
+def knn5(query: Array, query_valid: Array, cand: Array, cand_valid: Array,
+         impl: str = None):
+    """Dispatch by ``impl`` (or env ``LEGO_KNN_IMPL``; default "xla" —
+    the measured-faster path, see module docstring).  "pallas" uses the
+    fused kernel when the shapes fit; CPU always takes the XLA path."""
+    import os
+    if impl is None:
+        impl = os.environ.get("LEGO_KNN_IMPL", "xla")
+    if (impl == "pallas" and jax.default_backend() == "tpu"
+            and cand.shape[0] % _CB == 0
             and cand.shape[0] <= (1 << _IDX_BITS)):
         return knn5_pallas(query, query_valid, cand, cand_valid)
     from .bruteforce import knn_chunked

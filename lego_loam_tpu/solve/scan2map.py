@@ -5,8 +5,11 @@ TPU-native reimplementation of ``MapOptimization::scan2MapOptimization``
 ``cornerOptimization`` (:1028-1134), ``surfOptimization`` (:1136-1197),
 ``LMOptimization`` (:1199-1312):
 
-* 5-NN against the assembled submap via chunked MXU distance blocks
-  (replacing the per-point KD-tree queries);
+* 5-NN against the assembled submap replacing the per-point KD-tree
+  queries — backend selected by ``MappingConfig.knn_impl``: "xla"
+  (default; MXU distance matrix + hardware ``approx_min_k`` — measured
+  fastest, see ``match/pallas_knn.py`` docstring) or "pallas" (fused
+  VMEM kernel);
 * corner: 5-point covariance eigendecomposition; a neighbourhood is a line
   iff λ_max > 3 λ_mid; point-to-line residual against the ±0.1-scaled
   principal direction through the centroid (vector form — see
@@ -34,7 +37,7 @@ import jax.numpy as jnp
 from ..core import se3
 from ..core.config import LegoLoamConfig
 from ..core.linalg3 import eigvals_sym3, principal_eigvec_sym3
-from ..match.bruteforce import knn_chunked
+from ..match.pallas_knn import knn5
 
 Array = jax.Array
 
@@ -55,8 +58,8 @@ def _corner_assoc(pose: Array, pts: Array, pts_valid: Array,
     """
     m = cfg.mapping
     world = se3.apply(pose, pts)
-    idx, d2 = knn_chunked(world, pts_valid, corner_map.xyz,
-                          corner_map.valid, k=5)
+    idx, d2 = knn5(world, pts_valid, corner_map.xyz, corner_map.valid,
+                   impl=m.knn_impl)
 
     nb = corner_map.xyz[idx]                             # (N,5,3)
     # gate on EXACT distances recomputed from the gathered points
@@ -90,8 +93,8 @@ def _surf_assoc(pose: Array, pts: Array, pts_valid: Array,
     """
     m = cfg.mapping
     world = se3.apply(pose, pts)
-    idx, d2 = knn_chunked(world, pts_valid, surf_map.xyz,
-                          surf_map.valid, k=5)
+    idx, d2 = knn5(world, pts_valid, surf_map.xyz, surf_map.valid,
+                   impl=m.knn_impl)
 
     nb = surf_map.xyz[idx]                               # (N,5,3)
     # exact-gate as in _corner_assoc
@@ -153,9 +156,10 @@ def scan_to_map(pose0: Array, corner_pts: Array, corner_valid: Array,
         # the dominant kNN matmuls are the single biggest op in the whole
         # pipeline (~20% of device time at =1).
         if m.scan2map_reassoc_every > 1:
-            A = jax.lax.cond(it % m.scan2map_reassoc_every == 0,
-                             lambda: assoc(pose), lambda: A)
+            fresh = it % m.scan2map_reassoc_every == 0
+            A = jax.lax.cond(fresh, lambda: assoc(pose), lambda: A)
         else:
+            fresh = jnp.bool_(True)
             A = assoc(pose)
         centroid, u, wc, n_pl, pd, ws = A
         n_sel = jnp.sum(wc > 0) + jnp.sum(ws > 0)
@@ -193,8 +197,13 @@ def scan_to_map(pose0: Array, corner_pts: Array, corner_valid: Array,
 
         d_rot = jnp.sqrt(jnp.sum(dx[:3] ** 2))
         d_tr = jnp.sqrt(jnp.sum(dx[3:] ** 2))
+        # Convergence may only be declared on an iteration that ran a
+        # fresh association: a small dx on a frozen-correspondence
+        # iteration can mean "stale constraints", not "converged"
+        # (the reference re-searches every iteration, :1325-1327).
         converged = ((jnp.degrees(d_rot) < m.delta_r_converged_deg)
-                     & (d_tr * 100.0 < m.delta_t_converged_cm))
+                     & (d_tr * 100.0 < m.delta_t_converged_cm)
+                     & fresh)
         return pose, P, degenerate, it + 1, converged, A
 
     def cond(state):
