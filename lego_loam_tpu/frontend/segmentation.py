@@ -193,8 +193,8 @@ def _compact_rows(include: Array, fields: dict, capacity: int,
     ``extra_include`` (disjoint from ``include``) rides the SAME scatter
     into a trailing ``extra_capacity``-row block, compacted globally in
     flat pixel order — one scatter instead of two (each 28.8 K-index
-    scatter costs ~0.25 ms on TPU).  Returns an extra
-    ``(extra_capacity, C) float32`` payload block + its count."""
+    scatter costs ~0.25 ms on TPU).  Returns the extra block as a dict
+    unpacked per-field (same keys/dtypes as ``fields``) + its count."""
     V, H = include.shape
     count = jnp.sum(include, axis=1).astype(jnp.int32)
     pos = jnp.cumsum(include, axis=1) - 1                   # per-row rank
@@ -232,8 +232,17 @@ def _compact_rows(include: Array, fields: dict, capacity: int,
     valid = pos_c < count[:, None]
     if extra_include is None:
         return out, count, valid
+    # unpack the extra block with the same splits/shapes machinery so a
+    # reordered or widened fields dict cannot silently misalign it
+    extra_out, off = {}, 0
+    for k, w in zip(fields.keys(), splits):
+        dtype, tail = shapes[k]
+        g = extra_block[:, off:off + w]
+        extra_out[k] = (g.reshape((extra_capacity,) + tail) if tail
+                        else g[:, 0]).astype(dtype)
+        off += w
     extra_count = jnp.sum(extra_include).astype(jnp.int32)
-    return out, count, valid, extra_block, extra_count
+    return out, count, valid, extra_out, extra_count
 
 
 @functools.partial(jax.jit, static_argnames="cfg")
@@ -264,7 +273,7 @@ def segment_cloud(img: RangeImage, raw_stamp: Array,
     # ``include`` (seg_ok ∨ ground), so they ride the same scatter into a
     # trailing block instead of paying for a second 28.8 K-index scatter.
     O = cfg.pipeline.max_outlier
-    fields, count, valid, out_block, out_count = _compact_rows(
+    fields, count, valid, extra_fields, out_count = _compact_rows(
         include,
         dict(xyz=img.xyz, rng=img.rng, col=cols,
              ground=img.ground, rel=rel),
@@ -275,7 +284,7 @@ def segment_cloud(img: RangeImage, raw_stamp: Array,
         is_ground=fields["ground"], valid=valid, count=count,
         rel_time=fields["rel"])
 
-    out_xyz = out_block[:, 0:3]                  # xyz = first payload cols
+    out_xyz = extra_fields["xyz"]
     out_valid = (jnp.arange(O) < out_count)
 
     scan2d_xyz, scan2d_valid = virtual_scan_2d(img, cfg)

@@ -116,6 +116,65 @@ def figure_eight_trajectory(n_scans: int, ax: float = 14.0,
     return pose_at(times), times, pose_at
 
 
+def aggressive_trajectory(n_scans: int, scan_period: float = 0.1,
+                          height: float = 0.8, turn_rate: float = 1.57,
+                          speed: float = 1.2, ramp: float = 0.5):
+    """Stop-and-go with in-place turns — the aggressive-motion regime a
+    Jackal actually produces (~90°/s yaw, full stops), which smooth
+    circles/figure-eights never exercise (VERDICT r1 weak #4).
+
+    Unicycle model with FINITE acceleration: each segment's (v, ω)
+    target is approached through ``ramp``-second linear ramps (a real
+    vehicle cannot step its velocity; instantaneous steps would demand
+    per-frame motion changes no causal estimator can track).  Segments:
+    drive → stop → turn in place 90° → drive → … repeated.
+
+    Returns (poses (N,6), times (N,), pose_fn)."""
+    # (duration s, target v, target ω)
+    cycle = [(2.5, speed, 0.0), (0.8, 0.0, 0.0),
+             (1.0, 0.0, turn_rate), (0.8, 0.0, 0.0),
+             (2.5, speed, 0.0), (0.8, 0.0, 0.0),
+             (1.0, 0.0, -turn_rate), (0.8, 0.0, 0.0)]
+    total = n_scans * scan_period + 1.0
+    dt = 1e-3
+    steps = int(total / dt) + 2
+    v = np.zeros(steps)
+    w = np.zeros(steps)
+    t_seg = 0.0
+    seg = 0
+    tv = tw = 0.0
+    cv = cw = 0.0
+    dv_max = speed / ramp * dt
+    dw_max = turn_rate / ramp * dt
+    for k in range(steps):
+        if t_seg <= 0.0:
+            dur, tv, tw = cycle[seg % len(cycle)]
+            t_seg = dur
+            seg += 1
+        cv += np.clip(tv - cv, -dv_max, dv_max)
+        cw += np.clip(tw - cw, -dw_max, dw_max)
+        v[k] = cv
+        w[k] = cw
+        t_seg -= dt
+    yaw = np.cumsum(w) * dt
+    x = np.cumsum(v * np.cos(yaw)) * dt
+    y = np.cumsum(v * np.sin(yaw)) * dt
+    tt = np.arange(steps) * dt
+
+    def pose_at(t):
+        t = np.asarray(t, np.float64)
+        zeros = np.zeros_like(t)
+        return np.stack([
+            zeros, zeros,
+            np.interp(t, tt, yaw),
+            np.interp(t, tt, x),
+            np.interp(t, tt, y),
+            np.full_like(t, height)], axis=-1)
+
+    times = np.arange(n_scans) * scan_period
+    return pose_at(times), times, pose_at
+
+
 def _raycast(origins: np.ndarray, dirs: np.ndarray,
              world: World, max_range: float = 100.0) -> np.ndarray:
     """Nearest-hit distances for rays (…,3)+(…,3) against the world.
@@ -248,8 +307,9 @@ def make_sequence(n_scans: int, cfg: Optional[LegoLoamConfig] = None,
                   distortion: bool = True, trajectory: str = "circle"):
     """Generate a full sequence.
 
-    ``trajectory``: "circle" (single revisit site) or "figure8"
-    (Lissajous, repeated crossings — the loop-closure stress pattern).
+    ``trajectory``: "circle" (single revisit site), "figure8"
+    (Lissajous, repeated crossings — the loop-closure stress pattern),
+    or "aggressive" (stop-and-go with 90°/s in-place turns).
 
     Returns (scans: list[(P,3) float32 with NaNs], gt_poses (N,6), times).
     """
@@ -260,6 +320,9 @@ def make_sequence(n_scans: int, cfg: Optional[LegoLoamConfig] = None,
     if trajectory == "figure8":
         gt, times, pose_fn = figure_eight_trajectory(
             n_scans, scan_period=cfg.laser.scan_period)
+    elif trajectory == "aggressive":
+        gt, times, pose_fn = aggressive_trajectory(
+            n_scans, scan_period=cfg.laser.scan_period, speed=speed)
     else:
         gt, times, pose_fn = circle_trajectory(
             n_scans, radius=radius, speed=speed,

@@ -44,10 +44,13 @@ def find_candidate(store: KeyframeStore, cur_pose: Array,
     return jnp.any(elig), idx
 
 
-def _gather_history(store: KeyframeStore, center: Array,
+def _gather_history(store: KeyframeStore, row, center: Array,
                     cfg: LegoLoamConfig):
     """World-frame submap from keyframes center±history_keyframe_search_num
-    (``detectLoopClosure``, :727-753), 0.4 m downsampled."""
+    (``detectLoopClosure``, :727-753), 0.4 m downsampled.
+
+    ``row`` (the keyframe inserted THIS cycle, not yet scattered into the
+    cloud blocks) substitutes for its index if the window overlaps it."""
     m = cfg.mapping
     half = m.history_keyframe_search_num
     ks = jnp.arange(2 * half + 1) - half + center
@@ -59,7 +62,14 @@ def _gather_history(store: KeyframeStore, center: Array,
         pts = jnp.concatenate([as_points(store.corner[k]),
                                as_points(store.surf[k])], axis=0)
         valid = jnp.concatenate([store.corner_valid[k],
-                                 store.surf_valid[k]], axis=0) & k_ok
+                                 store.surf_valid[k]], axis=0)
+        if row is not None:
+            use_row = k == row.idx
+            pts = jnp.where(use_row, jnp.concatenate(
+                [as_points(row.corner), as_points(row.surf)], axis=0), pts)
+            valid = jnp.where(use_row, jnp.concatenate(
+                [row.corner_valid, row.surf_valid], axis=0), valid)
+        valid = valid & k_ok
         return jnp.where(valid[:, None], se3.apply(pose, pts), 0.0), valid
 
     pts, valid = jax.vmap(one)(ks, ok)
@@ -73,7 +83,13 @@ def _gather_latest(store: KeyframeStore, row, idx: Array,
 
     ``row`` is the keyframe inserted THIS mapping cycle, which is not yet
     scattered into the cloud blocks (see ``pipeline/mapping``): when it is
-    the latest keyframe (idx == row.idx) its payload is used directly."""
+    the latest keyframe (idx == row.idx) its payload is used directly.
+
+    VALID points are left-compacted before the ``source_cap`` cut: the
+    raw [corner | surf] concatenation puts all surf slots last, so a
+    blind truncation at small caps silently dropped the ENTIRE surf
+    block and fed ICP a corner-only source (found as a diverged loop
+    ICP with fitness ≈ 15 in the r2 shrunken-config e2e test)."""
     pose = store.pose[idx]
     pts = jnp.concatenate([as_points(store.corner[idx]),
                            as_points(store.surf[idx])], axis=0)
@@ -86,17 +102,25 @@ def _gather_latest(store: KeyframeStore, row, idx: Array,
         valid = jnp.where(use_row, jnp.concatenate(
             [row.corner_valid, row.surf_valid], axis=0), valid)
     world = jnp.where(valid[:, None], se3.apply(pose, pts), 0.0)
-    pad = source_cap - world.shape[0]
-    if pad > 0:
-        world = jnp.concatenate([world, jnp.zeros((pad, 3))], 0)
-        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)], 0)
-    return world[:source_cap], valid[:source_cap]
+    rank = jnp.cumsum(valid) - 1
+    dest = jnp.where(valid & (rank < source_cap), rank, source_cap)
+    out = jnp.zeros((source_cap, 3), world.dtype).at[dest].set(
+        world, mode="drop", unique_indices=True)
+    n = jnp.minimum(jnp.sum(valid), source_cap)
+    return out, jnp.arange(source_cap) < n
 
 
 @functools.partial(jax.jit, static_argnames="cfg")
 def detect_and_verify(store: KeyframeStore, row, cur_stamp: Array,
-                      cfg: LegoLoamConfig):
+                      cfg: LegoLoamConfig, robot_pose: Array = None):
     """Full loop-closure attempt for the latest keyframe.
+
+    ``robot_pose`` is the CURRENT mapped pose used for the candidate
+    radius gate (``detectLoopClosure`` searches around
+    ``currentRobotPosPoint``, ``mapOptmization.cpp:705-708`` — which can
+    be up to keyframe_distance ahead of the last keyframe); the ICP
+    source / factor endpoints stay anchored at the latest keyframe.
+    Defaults to the latest keyframe pose when omitted.
 
     Returns dict(found, old_idx, latest_idx, z, fitness, corrected_pose):
     ``z`` = measurement for the between factor (latest → old), and
@@ -106,11 +130,12 @@ def detect_and_verify(store: KeyframeStore, row, cur_stamp: Array,
     m = cfg.mapping
     latest = jnp.maximum(store.count - 1, 0)
     cur_pose = store.pose[latest]
+    gate_pose = cur_pose if robot_pose is None else robot_pose
 
-    found, old_idx = find_candidate(store, cur_pose, cur_stamp, cfg)
+    found, old_idx = find_candidate(store, gate_pose, cur_stamp, cfg)
 
     def attempt():
-        tgt, tgt_valid = _gather_history(store, old_idx, cfg)
+        tgt, tgt_valid = _gather_history(store, row, old_idx, cfg)
         src, src_valid = _gather_latest(store, row, latest,
                                         m.loop_source_cap)
         corr, fitness, n_corr = icp_align(

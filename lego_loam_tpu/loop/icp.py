@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import se3
-from ..match.bruteforce import knn_chunked
+from ..match.pallas_knn import knn5
 
 Array = jax.Array
 
@@ -48,7 +48,10 @@ def icp_align(src: Array, src_valid: Array, tgt: Array, tgt_valid: Array,
 
     def nn_fit(pose):
         moved = se3.apply(pose, src)
-        idx, d2s = knn_chunked(moved, src_valid, tgt, tgt_valid, k=1)
+        # 1-NN via the fused Pallas 5-NN kernel (first column; the (Q, M)
+        # distance matrix would be ~512 MB of HBM traffic per iteration
+        # through XLA at loop capacities)
+        idx, d2s = knn5(moved, src_valid, tgt, tgt_valid)
         match = tgt[idx[:, 0]]
         # exact distances for weights and PCL-style fitness (the
         # selection matrix runs at Precision.HIGH — see pairwise_sqdist)

@@ -83,6 +83,19 @@ def voxel_downsample(xyz: Array, valid: Array, leaf: float, capacity: int):
         xyz, jnp.zeros((xyz.shape[0], 0), xyz.dtype), valid, leaf)
     new_voxel = _run_starts(qs, vs)
     seg = jnp.cumsum(new_voxel.astype(jnp.int32)) - 1      # voxel ordinal
+    n_vox = jnp.sum(new_voxel)
+    # Saturation (n_vox > capacity) must NOT truncate by ordinal: the
+    # voxel-key order is monotone in x, so a plain cut would censor the
+    # cloud at an x-plane (found in r2 as a loop-closure ICP dragged
+    # metres toward the surviving half-space).  Remap ordinals uniformly
+    # onto the slots instead — evenly-spaced ADJACENT voxels merge into
+    # one centroid (a locally coarser filter).  Float ratio avoids
+    # int32 overflow of seg*capacity; ratio is EXACTLY 1.0 when not
+    # saturated, so the unsaturated path is bit-identical.
+    r = jnp.float32(capacity) / jnp.maximum(n_vox, capacity).astype(
+        jnp.float32)
+    seg = jnp.minimum(jnp.floor(seg.astype(jnp.float32) * r), capacity - 1
+                      ).astype(jnp.int32)
     seg = jnp.where(vs, seg, capacity)                     # drop invalid
 
     w = vs.astype(xyz.dtype)
@@ -90,7 +103,6 @@ def voxel_downsample(xyz: Array, valid: Array, leaf: float, capacity: int):
     sums = jax.ops.segment_sum(cat * w[:, None], seg,
                                num_segments=capacity + 1)[:capacity]
     cnts = sums[:, -1]
-    n_vox = jnp.sum(new_voxel)
     out_valid = jnp.arange(capacity) < jnp.minimum(n_vox, capacity)
     out_xyz = jnp.where(out_valid[:, None],
                         sums[:, :3] / jnp.maximum(cnts, 1.0)[:, None], 0.0)
@@ -168,6 +180,12 @@ def voxel_downsample_with_payload(xyz: Array, payload: Array, valid: Array,
     qs, xs, ps, vs = _sorted_pack(xyz, payload, valid, leaf)
     new_voxel = _run_starts(qs, vs)
     seg = jnp.cumsum(new_voxel.astype(jnp.int32)) - 1
+    n_vox = jnp.sum(new_voxel)
+    # uniform saturation remap — see voxel_downsample
+    r = jnp.float32(capacity) / jnp.maximum(n_vox, capacity).astype(
+        jnp.float32)
+    seg = jnp.minimum(jnp.floor(seg.astype(jnp.float32) * r), capacity - 1
+                      ).astype(jnp.int32)
     seg = jnp.where(vs, seg, capacity)
 
     w = vs.astype(xyz.dtype)
@@ -177,7 +195,6 @@ def voxel_downsample_with_payload(xyz: Array, payload: Array, valid: Array,
     sums = jax.ops.segment_sum(cat * w[:, None], seg,
                                num_segments=capacity + 1)[:capacity]
     cnts = sums[:, -1]
-    n_vox = jnp.sum(new_voxel)
     out_valid = jnp.arange(capacity) < jnp.minimum(n_vox, capacity)
     mean = jnp.where(out_valid[:, None],
                      sums[:, :-1] / jnp.maximum(cnts, 1.0)[:, None], 0.0)

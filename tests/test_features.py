@@ -155,3 +155,33 @@ def test_feature_cloud_layout_invariants(proj_out):
             flat_keys.append(ring[i] * S + j)
         # strictly increasing flat index = position-major order + unique
         assert all(b > a for a, b in zip(flat_keys, flat_keys[1:]))
+
+
+def test_voxel_downsample_saturation_not_censored():
+    """When distinct voxels exceed capacity, the output must still SPAN
+    the input (uniform merge of adjacent voxels), never cut at an
+    x-plane — the voxel-key sort is x-major, and plain truncation
+    spatially censored the cloud (r2: loop ICP dragged metres toward
+    the surviving half-space)."""
+    from lego_loam_tpu.match.voxelhash import voxel_downsample
+
+    rng = np.random.default_rng(5)
+    n, cap = 4096, 256
+    xyz = rng.uniform(-50, 50, size=(n, 3)).astype(np.float32)  # ~4096 voxels
+    valid = np.ones(n, bool)
+    out, ok = voxel_downsample(jnp.asarray(xyz), jnp.asarray(valid),
+                               leaf=0.4, capacity=cap)
+    pts = np.asarray(out)[np.asarray(ok)]
+    assert len(pts) == cap                      # fully used
+    # spans the whole extent on every axis (uniform thinning)
+    assert pts[:, 0].min() < -40 and pts[:, 0].max() > 40
+    assert pts[:, 1].min() < -40 and pts[:, 1].max() > 40
+    # unsaturated path unchanged: grid-aligned duplicates collapse to
+    # exact centroids
+    small = np.array([[1.0, 1.0, 1.0], [1.05, 1.05, 1.05],
+                      [5.0, 5.0, 5.0]], np.float32)
+    out2, ok2 = voxel_downsample(jnp.asarray(small),
+                                 jnp.ones(3, bool), 0.4, 8)
+    got = np.asarray(out2)[np.asarray(ok2)]
+    assert len(got) == 2
+    np.testing.assert_allclose(sorted(got[:, 0]), [1.025, 5.0], atol=1e-6)

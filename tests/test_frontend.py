@@ -157,3 +157,65 @@ def test_image_projection_end_to_end(scan):
     # ranges of valid segmented points are positive and finite
     r = np.asarray(seg.rng)[valid]
     assert np.isfinite(r).all() and (r > 0).all()
+
+
+def test_compact_rows_extra_block():
+    """_compact_rows with extra_include: per-field unpacking, flat-order
+    compaction, disjointness from the row block, overflow drop."""
+    from lego_loam_tpu.frontend.segmentation import _compact_rows
+
+    rng = np.random.default_rng(7)
+    V, H = 4, 12
+    xyz = rng.normal(size=(V, H, 3)).astype(np.float32)
+    rngf = rng.uniform(1, 30, size=(V, H)).astype(np.float32)
+    cols = np.broadcast_to(np.arange(H, dtype=np.int32), (V, H)).copy()
+    include = rng.uniform(size=(V, H)) < 0.4
+    extra = (~include) & (rng.uniform(size=(V, H)) < 0.3)
+    assert not np.any(include & extra)
+
+    cap, ecap = H, 8
+    fields = dict(xyz=jnp.asarray(xyz), rng=jnp.asarray(rngf),
+                  col=jnp.asarray(cols))
+    out, count, valid, extra_out, extra_count = _compact_rows(
+        jnp.asarray(include), fields, capacity=cap,
+        extra_include=jnp.asarray(extra), extra_capacity=ecap)
+
+    # row block: column order preserved per row, all fields aligned
+    for i in range(V):
+        sel = np.where(include[i])[0]
+        assert int(count[i]) == len(sel)
+        np.testing.assert_allclose(np.asarray(out["xyz"])[i, :len(sel)],
+                                   xyz[i, sel], rtol=0, atol=0)
+        np.testing.assert_array_equal(np.asarray(out["col"])[i, :len(sel)],
+                                      cols[i, sel])
+
+    # extra block: global flat-pixel order, per-field dtypes/shapes
+    eflat = np.where(extra.reshape(-1))[0]
+    n_fit = min(len(eflat), ecap)
+    assert int(extra_count) == len(eflat)
+    assert extra_out["xyz"].shape == (ecap, 3)
+    assert extra_out["col"].dtype == jnp.int32
+    np.testing.assert_allclose(
+        np.asarray(extra_out["xyz"])[:n_fit],
+        xyz.reshape(-1, 3)[eflat[:n_fit]], rtol=0, atol=0)
+    np.testing.assert_array_equal(
+        np.asarray(extra_out["col"])[:n_fit],
+        cols.reshape(-1)[eflat[:n_fit]])
+
+
+def test_compact_rows_extra_overflow():
+    """extra_capacity overflow: first `ecap` pixels in flat order kept,
+    the rest dropped (no wraparound corruption)."""
+    from lego_loam_tpu.frontend.segmentation import _compact_rows
+
+    V, H, ecap = 2, 10, 3
+    vals = np.arange(V * H, dtype=np.float32).reshape(V, H)
+    include = np.zeros((V, H), bool)
+    extra = np.ones((V, H), bool)            # 20 > ecap=3
+    out, count, valid, extra_out, extra_count = _compact_rows(
+        jnp.asarray(include), dict(v=jnp.asarray(vals)), capacity=H,
+        extra_include=jnp.asarray(extra), extra_capacity=ecap)
+    assert int(extra_count) == V * H         # true count reported
+    np.testing.assert_array_equal(np.asarray(extra_out["v"]),
+                                  vals.reshape(-1)[:ecap])
+    assert int(count.sum()) == 0 and not bool(np.asarray(valid).any())
