@@ -1,12 +1,17 @@
 """Data-parallel scaling harness (BASELINE scaling-efficiency metric).
 
-Measures multi-session replay throughput at 1/2/4/8 devices over a
-`shard_map`-style mesh.  On this container only virtual CPU devices are
-available (JAX_PLATFORMS=cpu + xla_force_host_platform_device_count);
-on a real multi-chip slice the identical code path rides ICI.
+Two modes:
 
-Usage: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-       python benchmarks/scaling.py
+* device scaling (default): multi-session replay throughput at 1/2/4/8
+  virtual devices in ONE process (on a real slice this path rides ICI);
+* host scaling (``--hosts``): spawns 1, 2, … N real PROCESSES (4 virtual
+  CPU devices each) joined via ``jax.distributed``
+  (distributed/multihost.py) and reports the BASELINE frames/s table at
+  1 chip / 1 host / N hosts with scaling efficiency (target ≥80% at 2).
+
+Usage:
+  python benchmarks/scaling.py             # device table
+  python benchmarks/scaling.py --hosts 2   # host table (spawns workers)
 """
 import os
 import sys
@@ -14,20 +19,23 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
+if "--hosts" not in sys.argv:
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS",
-    (os.environ.get("XLA_FLAGS", "")
-     + " --xla_force_host_platform_device_count=8").strip())
+    jax.config.update("jax_platforms", "cpu")
+    os.environ.setdefault(
+        "XLA_FLAGS",
+        (os.environ.get("XLA_FLAGS", "")
+         + " --xla_force_host_platform_device_count=8").strip())
 
 import numpy as np
-import jax.numpy as jnp
 
 
 def main():
     import dataclasses
+
+    import jax
+    import jax.numpy as jnp
 
     from lego_loam_tpu.core.config import (FeatureConfig, LaserConfig,
                                            LegoLoamConfig, MappingConfig,
@@ -79,5 +87,71 @@ def main():
               f"(target >= 80%)")
 
 
+def _free_port():
+    import socket
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _spawn_hosts(n_proc, local_devices, n_scans, out):
+    """One scaling-table row: n_proc fake hosts × local_devices each."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    parts = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+             if p and ".axon_site" not in p]
+    env["PYTHONPATH"] = os.pathsep.join([repo] + parts)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = \
+        f"--xla_force_host_platform_device_count={local_devices}"
+    port = _free_port()
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "lego_loam_tpu.distributed.multihost",
+         "--coordinator", f"localhost:{port}",
+         "--num-processes", str(n_proc), "--process-id", str(pid),
+         "--out", out, "--local-devices", str(local_devices),
+         "--n-scans", str(n_scans), "--bench"],
+        env=env, cwd=repo) for pid in range(n_proc)]
+    for p in procs:
+        rc = p.wait(timeout=900)
+        assert rc == 0, f"worker failed rc={rc}"
+    return float(np.load(out)["rate"])
+
+
+def main_hosts(max_hosts):
+    """BASELINE frames/s table: 1 chip / 1 host / N hosts."""
+    local_devices, n_scans = 4, 40
+    out = "/tmp/scaling_hosts.npz"
+    rows = []
+    one_chip = _spawn_hosts(1, 1, n_scans, out)
+    rows.append(("1 chip ", 1, one_chip))
+    h = 1
+    while h <= max_hosts:
+        rate = _spawn_hosts(h, local_devices, n_scans, out)
+        rows.append((f"{h} host{'s' if h > 1 else ' '}",
+                     h * local_devices, rate))
+        h *= 2
+    base_host = rows[1][2]
+    print(f"\n{'config':8s} {'devices':>7s} {'scans/s':>9s} "
+          f"{'efficiency':>10s}")
+    for name, ndev, rate in rows:
+        eff = rate / (base_host * ndev / local_devices) \
+            if ndev >= local_devices else rate / (one_chip * ndev)
+        print(f"{name:8s} {ndev:7d} {rate:9.1f} {eff * 100:9.1f}%")
+    n_hosts_meas = [r for r in rows[1:]]
+    if len(n_hosts_meas) >= 2:
+        eff2 = n_hosts_meas[1][2] / (2 * n_hosts_meas[0][2])
+        print(f"\n2-host scaling efficiency: {eff2 * 100:.1f}% "
+              f"(target >= 80%)")
+
+
 if __name__ == "__main__":
-    main()
+    if "--hosts" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--hosts") + 1])
+        main_hosts(n)
+    else:
+        main()

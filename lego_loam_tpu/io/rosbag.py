@@ -8,14 +8,16 @@ not .npz archives — this module ingests them directly, with no ROS
 installation: the bag container format and the PointCloud2 wire format are
 both fixed, documented layouts parseable with ``struct`` + numpy.
 
-Supported: bag format 2.0, chunk compression ``none`` and ``bz2`` (stdlib);
-``lz4`` raises with a clear message.  Messages are decoded via a numpy
-structured dtype built from the PointField table, so arbitrary field
-layouts (VLP-16 x/y/z/intensity/ring/time, HDL-64, Ouster) all work.
+Supported: bag format 2.0, chunk compression ``none``, ``bz2`` (stdlib)
+and ``lz4`` (the roslz4 LZ4-frame layout, decoded by the pure-python
+block decompressor below — slower than native lz4 but dependency-free;
+checksums are skipped).  Messages are decoded via a numpy structured
+dtype built from the PointField table, so arbitrary field layouts
+(VLP-16 x/y/z/intensity/ring/time, HDL-64, Ouster) all work.
 
-The writer emits a minimal single-chunk uncompressed bag (connection +
-message records, no index) — enough for round-trip tests and for exporting
-sequences to ROS tooling; standard players re-index unindexed bags.
+The writer emits a single-chunk uncompressed bag WITH index records
+(IndexData per connection + ChunkInfo + index_pos in the bag header), so
+standard ROS tooling opens it without a re-index pass.
 """
 
 from __future__ import annotations
@@ -85,14 +87,91 @@ def _iter_records(buf: bytes) -> Iterator[Tuple[Dict[bytes, bytes], bytes]]:
         yield header, data
 
 
+def _lz4_block_decompress(src: bytes, dst: bytearray) -> None:
+    """LZ4 block format (the LZ77 core): token = (lit_len<<4)|match_len,
+    15 ⇒ extended with 255-runs; match = u16le offset + len+4 bytes,
+    copied byte-serially because matches may overlap their output."""
+    i, n = 0, len(src)
+    while i < n:
+        token = src[i]
+        i += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = src[i]
+                i += 1
+                lit += b
+                if b != 255:
+                    break
+        dst += src[i:i + lit]
+        i += lit
+        if i >= n:            # last sequence has no match part
+            break
+        off = src[i] | (src[i + 1] << 8)
+        i += 2
+        mlen = (token & 15) + 4
+        if (token & 15) == 15:
+            while True:
+                b = src[i]
+                i += 1
+                mlen += b
+                if b != 255:
+                    break
+        start = len(dst) - off
+        if off >= mlen:       # non-overlapping: one slice copy
+            dst += dst[start:start + mlen]
+        else:
+            for k in range(mlen):
+                dst.append(dst[start + k])
+
+
+def _lz4_frame_decompress(data: bytes) -> bytes:
+    """roslz4's LZ4 frame layout (lz4s.c): magic 0x184D2204, FLG/BD
+    descriptor (+1-byte header checksum), then blocks of
+    ``u32 size`` (+data); high size bit ⇒ stored uncompressed; size 0 ⇒
+    end mark.  Block/content xxhash checksums are skipped, not verified."""
+    (magic,) = struct.unpack_from("<I", data, 0)
+    if magic != 0x184D2204:
+        raise ValueError(f"bad LZ4 frame magic {magic:#x}")
+    flg = data[4]
+    off = 6                             # magic + FLG + BD
+    block_checksum = bool(flg & 0x10)
+    content_size = bool(flg & 0x08)
+    content_checksum = bool(flg & 0x04)
+    if content_size:
+        off += 8
+    off += 1                            # header checksum byte
+    out = bytearray()
+    while off < len(data):
+        (bsize,) = struct.unpack_from("<I", data, off)
+        off += 4
+        if bsize == 0:                  # end mark
+            if content_checksum:
+                off += 4
+            break
+        stored = bool(bsize & 0x80000000)
+        bsize &= 0x7FFFFFFF
+        block = data[off:off + bsize]
+        off += bsize
+        if block_checksum:
+            off += 4
+        if stored:
+            out += block
+        else:
+            _lz4_block_decompress(block, out)
+    return bytes(out)
+
+
 def _decompress(data: bytes, compression: bytes) -> bytes:
     if compression in (b"none", b""):
         return data
     if compression == b"bz2":
         return bz2.decompress(data)
+    if compression == b"lz4":
+        return _lz4_frame_decompress(data)
     raise NotImplementedError(
         f"bag chunk compression {compression!r} not supported "
-        "(only none/bz2); re-record with `rosbag decompress`")
+        "(only none/bz2/lz4); re-record with `rosbag decompress`")
 
 
 # ---------------------------------------------------- PointCloud2 decode
@@ -266,25 +345,29 @@ def load_bag(path: str, topic: Optional[str] = None,
 def write_bag(path: str, scans: Sequence[np.ndarray],
               times: Sequence[float], topic: str = "/velodyne_points",
               frame_id: str = "velodyne"):
-    """Minimal unindexed single-chunk bag of PointCloud2 messages."""
+    """Single-chunk uncompressed bag of PointCloud2 messages, fully
+    indexed (IndexData + ChunkInfo + index_pos) per the v2.0 layout."""
 
     def record(header: Dict[bytes, bytes], data: bytes) -> bytes:
         h = _encode_fields(header)
         return (struct.pack("<I", len(h)) + h
                 + struct.pack("<I", len(data)) + data)
 
+    conn_header = {b"op": bytes([OP_CONNECTION]),
+                   b"conn": struct.pack("<I", 0),
+                   b"topic": topic.encode()}
     conn_info = _encode_fields({
         b"topic": topic.encode(),
         b"type": POINTCLOUD2_TYPE.encode(),
         b"md5sum": POINTCLOUD2_MD5.encode(),
         b"message_definition": b"",
     })
-    chunk = record({b"op": bytes([OP_CONNECTION]),
-                    b"conn": struct.pack("<I", 0),
-                    b"topic": topic.encode()}, conn_info)
+    chunk = record(conn_header, conn_info)
+    index_entries = []                    # (secs, nsecs, chunk_offset)
     for i, (xyz, stamp) in enumerate(zip(scans, times)):
         stamp = float(stamp)
         secs, nsecs = int(stamp), int(round((stamp - int(stamp)) * 1e9))
+        index_entries.append((secs, nsecs, len(chunk)))
         msg = encode_pointcloud2(xyz, stamp, frame_id=frame_id, seq=i)
         chunk += record({b"op": bytes([OP_MSG]),
                          b"conn": struct.pack("<I", 0),
@@ -292,17 +375,45 @@ def write_bag(path: str, scans: Sequence[np.ndarray],
 
     with open(path, "wb") as f:
         f.write(MAGIC)
-        # bag header record, padded to 4096 like rosbag does (index_pos=0
-        # marks the bag unindexed; players rebuild the index on open)
-        hdr = record({b"op": bytes([OP_BAG_HEADER]),
-                      b"index_pos": struct.pack("<Q", 0),
-                      b"conn_count": struct.pack("<I", 1),
-                      b"chunk_count": struct.pack("<I", 1)},
-                     b" " * 4096)
-        f.write(hdr)
+        hdr_pos = f.tell()
+        # bag header record, padded to 4096 like rosbag does; index_pos
+        # back-patched once the chunk length is known
+        f.write(record({b"op": bytes([OP_BAG_HEADER]),
+                        b"index_pos": struct.pack("<Q", 0),
+                        b"conn_count": struct.pack("<I", 1),
+                        b"chunk_count": struct.pack("<I", 1)},
+                       b" " * 4096))
+        chunk_pos = f.tell()
         f.write(record({b"op": bytes([OP_CHUNK]),
                         b"compression": b"none",
                         b"size": struct.pack("<I", len(chunk))}, chunk))
+        # IndexData v1: per-connection (time, offset-into-chunk) entries
+        idx_data = b"".join(struct.pack("<III", s, ns, off)
+                            for s, ns, off in index_entries)
+        f.write(record({b"op": bytes([OP_INDEX]),
+                        b"ver": struct.pack("<I", 1),
+                        b"conn": struct.pack("<I", 0),
+                        b"count": struct.pack("<I", len(index_entries))},
+                       idx_data))
+        index_pos = f.tell()
+        # index section: connection records, then ChunkInfo v1
+        f.write(record(conn_header, conn_info))
+        s0, ns0, _ = index_entries[0] if index_entries else (0, 0, 0)
+        s1, ns1, _ = index_entries[-1] if index_entries else (0, 0, 0)
+        f.write(record({b"op": bytes([OP_CHUNK_INFO]),
+                        b"ver": struct.pack("<I", 1),
+                        b"chunk_pos": struct.pack("<Q", chunk_pos),
+                        b"start_time": struct.pack("<II", s0, ns0),
+                        b"end_time": struct.pack("<II", s1, ns1),
+                        b"count": struct.pack("<I", 1)},
+                       struct.pack("<II", 0, len(index_entries))))
+        # back-patch index_pos in the bag header
+        f.seek(hdr_pos)
+        f.write(record({b"op": bytes([OP_BAG_HEADER]),
+                        b"index_pos": struct.pack("<Q", index_pos),
+                        b"conn_count": struct.pack("<I", 1),
+                        b"chunk_count": struct.pack("<I", 1)},
+                       b" " * 4096))
 
 
 def main(argv=None):

@@ -104,10 +104,22 @@ def rasterize_scans(points_w: Array, points_valid: Array, origins_w: Array,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_frames"))
 def build_occupancy_grid(store: KeyframeStore, center: Array,
-                         cfg: LegoLoamConfig, max_frames: int = 256):
-    """Grid from the ``max_frames`` keyframes nearest ``center`` (the
-    reference rebuilds from keyposes within the visualization radius,
+                         cfg: LegoLoamConfig, max_frames: int = 256,
+                         origin: Array = None):
+    """Grid from keyframes around ``center`` (the reference rebuilds
+    from keyposes within the visualization radius,
     ``publishProbabilityGridMap``, ``mapOptmization.cpp:599-630``).
+
+    Frame selection reproduces the reference's 1 m keypose voxel
+    downsample (``publishGlobalMap`` :633-693): ONE representative
+    keyframe per 1 m pose cell, so a many-times-revisited site (Stevens
+    figure-eight) contributes its whole EXTENT, not ``max_frames``
+    near-duplicates of the newest lap.
+
+    ``origin``: world coords of grid cell (0, 0); defaults to centering
+    the (static) ``max_cells`` square on ``center`` — pass the
+    trajectory-bbox origin for full-coverage artifact grids
+    (``eval/artifacts.py`` picks the matching ``max_cells`` bucket).
 
     Returns (grid (C, C) int32, origin (2,)).
     """
@@ -115,13 +127,26 @@ def build_occupancy_grid(store: KeyframeStore, center: Array,
     K = store.capacity
     alive = jnp.arange(K) < store.count
     d = jnp.linalg.norm(store.pose[:, 3:5] - center[None, :2], axis=-1)
-    d = jnp.where(
-        alive & (d <= cfg.mapping.global_map_visualization_search_radius),
-        d, jnp.inf)
-    neg_top, sel = jax.lax.top_k(-d, max_frames)
+    elig = alive & (d <= cfg.mapping.global_map_visualization_search_radius)
+
+    # one representative per 1 m pose voxel (newest wins, like the
+    # reference's cache); then the max_frames nearest representatives
+    leaf = cfg.mapping.surrounding_pose_leaf_size
+    q = jnp.floor(store.pose[:, 3:5] / leaf).astype(jnp.int32)
+    h = (q[:, 0] * 73856093) ^ (q[:, 1] * 19349663)
+    S = 4 * max_frames
+    slot = jnp.where(elig, (h & jnp.int32(2 ** 31 - 1)) % S, S)
+    rep = jnp.full((S,), -1, jnp.int32).at[slot].max(
+        jnp.arange(K, dtype=jnp.int32), mode="drop")
+    rep_ok = rep >= 0
+    rep_c = jnp.clip(rep, 0, K - 1)
+    d_rep = jnp.where(rep_ok, d[rep_c], jnp.inf)
+    neg_top, rsel = jax.lax.top_k(-d_rep, max_frames)
+    sel = rep_c[rsel]
     sel_ok = jnp.isfinite(-neg_top)
 
-    origin = center[:2] - 0.5 * g.max_cells * g.resolution
+    if origin is None:
+        origin = center[:2] - 0.5 * g.max_cells * g.resolution
 
     poses = store.pose[sel]                          # (F, 6)
     pts = as_points(store.scan2d[sel])               # (F, S, 3)

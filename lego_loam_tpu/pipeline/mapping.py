@@ -35,7 +35,8 @@ from ..core.types import AssociationOut
 from ..graph import submap_grid
 from ..graph.keyframes import (CORNER_CAP, OUTLIER_CAP, SCAN2D_CAP,
                                SURF_CAP, KeyframeClouds, KeyframeStore,
-                               empty_clouds, make_row)
+                               assemble_submap, empty_clouds, make_row)
+from ..distributed.sharded_pgo import optimize_poses_sharded
 from ..graph.posegraph import (FactorGraph, add_factor, empty_graph,
                                optimize_poses)
 from ..loop.detect import detect_and_verify
@@ -59,6 +60,13 @@ class MappingMeta:
     aft_mapped: Array      # (6,) map-frame pose at last mapping step
     bef_mapped: Array      # (6,) odometry pose at last mapping step
     initialized: Array     # () bool
+    # Saturation counters — the reference grows its keyframe arrays and
+    # iSAM2 graph without bound (mapOptmization.cpp:1431-1474); our
+    # fixed-capacity stores must NEVER silently drop.  A nonzero counter
+    # means max_keyframes / max_loop_factors is undersized for the run
+    # (checked by benchmarks/stevens_stress.py and surfaced by run.py).
+    kf_dropped: Array      # () int32 keyframes lost to capacity
+    factor_dropped: Array  # () int32 factors lost to capacity
 
 
 @struct.dataclass
@@ -98,7 +106,9 @@ def init_state(cfg: LegoLoamConfig) -> MappingState:
         cycle=jnp.int32(0),
         aft_mapped=jnp.zeros((6,), jnp.float32),
         bef_mapped=jnp.zeros((6,), jnp.float32),
-        initialized=jnp.bool_(False))
+        initialized=jnp.bool_(False),
+        kf_dropped=jnp.int32(0),
+        factor_dropped=jnp.int32(0))
     return MappingState(meta=meta, clouds=empty_clouds(cfg))
 
 
@@ -117,12 +127,18 @@ def fuse_pose(state: MappingState, odom: Array) -> Array:
 
 
 def mapping_step(meta: MappingMeta, clouds: KeyframeClouds,
-                 assoc: AssociationOut, cfg: LegoLoamConfig):
+                 assoc: AssociationOut, cfg: LegoLoamConfig,
+                 mesh=None, pgo_axis: str = "pgo"):
     """One mapping cycle.
 
     ``clouds`` is read-only; the (possibly dropped) inserted keyframe row
     comes back for the caller to ``apply_row``.  Returns
     (new_meta, KeyframeRow, mapped_pose (6,)).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — when present, the
+    loop-closure pose-graph solve runs factor-sharded over
+    ``mesh[pgo_axis]`` with one psum per Hessian-vector product
+    (``distributed/sharded_pgo.py``), the SURVEY §2.1/§5 scale-out path.
     """
     m = cfg.mapping
     pred = predict_pose(meta, assoc.odom)
@@ -150,11 +166,23 @@ def mapping_step(meta: MappingMeta, clouds: KeyframeClouds,
     scan2d_ds, scan2d_ok = voxel_downsample(
         assoc.scan2d_xyz, assoc.scan2d_valid, 0.1, SCAN2D_CAP)
 
-    # extractSurroundingKeyFrames (:857-996) — read the persistent
-    # incremental voxel grid instead of re-assembling 50 keyframes
-    # (graph/submap_grid.py; ~7.7 ms/cycle → ~0 on TPU)
-    corner_map, surf_map = submap_grid.maps(
-        meta.grid, meta.kf_count, m.surrounding_keyframe_search_num)
+    # extractSurroundingKeyFrames (:857-996) has two modes:
+    if m.enable_loop_closure:
+        # loop-ON: latest-N window (:863-913) — read the persistent
+        # incremental voxel grid instead of re-assembling 50 keyframes
+        # (graph/submap_grid.py; ~7.7 ms/cycle → ~0 on TPU)
+        corner_map, surf_map = submap_grid.maps(
+            meta.grid, meta.kf_count, m.surrounding_keyframe_search_num)
+    else:
+        # loop-OFF (the reference's default config): 50 m keypose RADIUS
+        # search (:917-986) — a revisit must re-associate against the OLD
+        # map, which the latest-N window cannot provide.  Assembled from
+        # the keyframe store each cycle (the window grid would mix stale
+        # world-frame epochs on long runs).
+        store0 = KeyframeStore(pose=meta.kf_pose, stamp=meta.kf_stamp,
+                               count=meta.kf_count, clouds=clouds)
+        corner_map, surf_map = assemble_submap(
+            store0, pred, cfg, window=m.surrounding_keyframe_search_num)
 
     pose = scan_to_map(pred, corner_ds, corner_ok, surf_total,
                        surf_total_ok, corner_map, surf_map, cfg)
@@ -167,6 +195,7 @@ def mapping_step(meta: MappingMeta, clouds: KeyframeClouds,
     moved = jnp.linalg.norm(pose[3:] - last_kf[3:])
     is_kf = (~meta.initialized) | (moved >= m.keyframe_distance)
     insert = is_kf & (meta.kf_count < K)
+    kf_dropped = meta.kf_dropped + (is_kf & ~insert).astype(jnp.int32)
 
     idx = jnp.where(insert, meta.kf_count, K)        # K ⇒ scatter dropped
     row = make_row(idx, corner_ds, corner_ok, surf_ds, surf_ok,
@@ -175,45 +204,54 @@ def mapping_step(meta: MappingMeta, clouds: KeyframeClouds,
     kf_stamp = meta.kf_stamp.at[idx].set(assoc.stamp, mode="drop")
     kf_count = meta.kf_count + insert.astype(jnp.int32)
 
-    grid = jax.lax.cond(
-        insert,
-        lambda g: submap_grid.insert(
-            g, meta.kf_count, pose, corner_ds, corner_ok, surf_ds, surf_ok,
-            outlier_ds, outlier_ok, cfg,
-            window=m.surrounding_keyframe_search_num),
-        lambda g: g, meta.grid)
+    if m.enable_loop_closure:
+        grid = jax.lax.cond(
+            insert,
+            lambda g: submap_grid.insert(
+                g, meta.kf_count, pose, corner_ds, corner_ok,
+                surf_ds, surf_ok, outlier_ds, outlier_ok, cfg,
+                window=m.surrounding_keyframe_search_num),
+            lambda g: g, meta.grid)
+    else:
+        grid = meta.grid      # unused in radius mode — skip the scatter
 
     odom_w = jnp.asarray(m.odom_factor_weight, jnp.float32)
+    cap_f = meta.graph.i.shape[0]
 
-    def do_factors(graph, fcount):
-        def first(g, f):
+    def do_factors(graph, fcount, fdrop):
+        def first(g, f, d):
             # PriorFactor on node 0 (:1363-1369)
-            return g.replace(prior=pose), f
+            return g.replace(prior=pose), f, d
 
-        def later(g, f):
+        def later(g, f, d):
             # BetweenFactor(prev, new) (:1384-1398)
             z = se3.relative(last_kf, pose)
-            return add_factor(g, f, last_i, meta.kf_count, z, odom_w)
+            d = d + (f >= cap_f).astype(jnp.int32)
+            g, f = add_factor(g, f, last_i, meta.kf_count, z, odom_w)
+            return g, f, d
 
-        return jax.lax.cond(meta.kf_count == 0, first, later, graph, fcount)
+        return jax.lax.cond(meta.kf_count == 0, first, later,
+                            graph, fcount, fdrop)
 
-    graph, fcount = jax.lax.cond(
-        insert, do_factors, lambda g, f: (g, f),
-        meta.graph, meta.factor_count)
+    graph, fcount, fdrop = jax.lax.cond(
+        insert, do_factors, lambda g, f, d: (g, f, d),
+        meta.graph, meta.factor_count, meta.factor_dropped)
 
     # --- loop closure, every loop_every_n_mapping cycles (:1562-1568)
     run_loop = (jnp.bool_(m.enable_loop_closure)
                 & (meta.cycle % m.loop_every_n_mapping == 0)
                 & (kf_count > 2))
 
-    def with_loop(kf_pose_a, grid, graph, fcount, aft):
+    def with_loop(kf_pose_a, grid, graph, fcount, fdrop, aft):
         store2 = KeyframeStore(pose=kf_pose_a, stamp=kf_stamp,
                                count=kf_count, clouds=clouds)
-        res = detect_and_verify(store2, row, assoc.stamp, cfg)
+        res = detect_and_verify(store2, row, assoc.stamp, cfg,
+                                robot_pose=pose)
 
-        def closed(kf_pose_a, grid, graph, fcount, aft):
+        def closed(kf_pose_a, grid, graph, fcount, fdrop, aft):
             w = jnp.full((6,), 1.0 / jnp.sqrt(
                 jnp.maximum(res["fitness"], 1e-4)), jnp.float32)
+            fdrop = fdrop + (fcount >= cap_f).astype(jnp.int32)
             graph, fcount = add_factor(
                 graph, fcount, res["latest_idx"], res["old_idx"],
                 res["z"], w)
@@ -226,8 +264,13 @@ def mapping_step(meta: MappingMeta, clouds: KeyframeClouds,
             # incremental (iSAM2's role): 2-3 GN steps suffice, and the
             # PCG's relative-tolerance exit keeps re-solves cheap.
             old_latest = kf_pose_a[res["latest_idx"]]
-            new_poses = optimize_poses(kf_pose_a, kf_count, graph,
-                                       gn_iters=3, pcg_iters=384)
+            if mesh is not None:
+                new_poses = optimize_poses_sharded(
+                    kf_pose_a, kf_count, graph, mesh, axis=pgo_axis,
+                    gn_iters=3, pcg_iters=384)
+            else:
+                new_poses = optimize_poses(kf_pose_a, kf_count, graph,
+                                           gn_iters=3, pcg_iters=384)
             # carry the correction onto the CURRENT pose (which may be up
             # to keyframe_distance ahead of the last keyframe)
             corr = se3.compose(new_poses[res["latest_idx"]],
@@ -239,19 +282,20 @@ def mapping_step(meta: MappingMeta, clouds: KeyframeClouds,
             grid = submap_grid.rebuild(
                 new_poses, kf_count, clouds, cfg,
                 window=m.surrounding_keyframe_search_num)
-            return new_poses, grid, graph, fcount, aft
+            return new_poses, grid, graph, fcount, fdrop, aft
 
         return jax.lax.cond(res["found"], closed,
-                            lambda p, gr, g, f, a: (p, gr, g, f, a),
-                            kf_pose_a, grid, graph, fcount, aft)
+                            lambda p, gr, g, f, d, a: (p, gr, g, f, d, a),
+                            kf_pose_a, grid, graph, fcount, fdrop, aft)
 
-    kf_pose, grid, graph, fcount, pose = jax.lax.cond(
-        run_loop, with_loop, lambda p, gr, g, f, a: (p, gr, g, f, a),
-        kf_pose, grid, graph, fcount, pose)
+    kf_pose, grid, graph, fcount, fdrop, pose = jax.lax.cond(
+        run_loop, with_loop, lambda p, gr, g, f, d, a: (p, gr, g, f, d, a),
+        kf_pose, grid, graph, fcount, fdrop, pose)
 
     new_meta = MappingMeta(
         kf_pose=kf_pose, kf_stamp=kf_stamp, kf_count=kf_count, grid=grid,
         graph=graph, factor_count=fcount, cycle=meta.cycle + 1,
         aft_mapped=pose, bef_mapped=assoc.odom,
-        initialized=jnp.bool_(True))
+        initialized=jnp.bool_(True),
+        kf_dropped=kf_dropped, factor_dropped=fdrop)
     return new_meta, row, pose

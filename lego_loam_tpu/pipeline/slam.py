@@ -46,7 +46,8 @@ def init_state(cfg: LegoLoamConfig) -> SlamState:
         scan_index=jnp.int32(0))
 
 
-def slam_step_impl(state: SlamState, raw: RawScan, cfg: LegoLoamConfig):
+def slam_step_impl(state: SlamState, raw: RawScan, cfg: LegoLoamConfig,
+                   mesh=None, pgo_axis: str = "pgo"):
     """Process one scan through the full pipeline (unjitted impl).
 
     Transformed callers (``replay``'s ``lax.scan``, vmapped multi-stream,
@@ -54,6 +55,12 @@ def slam_step_impl(state: SlamState, raw: RawScan, cfg: LegoLoamConfig):
     inside another trace shares its pjit trace cache between batched and
     direct calls, which miscounts hoisted constants at dispatch
     ("Execution supplied N buffers but compiled program expected M").
+
+    ``mesh``: optional ``jax.sharding.Mesh`` for the SINGLE-stream
+    sharded mode — keyframe cloud blocks shard over ``mesh[pgo_axis]``
+    (rows) and the loop-closure pose-graph solve runs factor-sharded
+    with psum reductions (SURVEY §2.1/§5).  Independent multi-stream
+    data parallelism is ``distributed/mesh.py::replay_sharded`` instead.
 
     Returns (new_state, outputs) where outputs carries:
       odom  — integrated scan-to-scan odometry pose (10 Hz),
@@ -72,9 +79,17 @@ def slam_step_impl(state: SlamState, raw: RawScan, cfg: LegoLoamConfig):
     # operand and returns only the small MappingMeta + one KeyframeRow,
     # which is scattered in unconditionally (dropped when idx==capacity).
     clouds = state.mapping.clouds
+    if mesh is not None:
+        # keyframe blocks shard over the mesh (row-blocked); submap/loop
+        # gathers become XLA collectives over ICI
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        shard = NamedSharding(mesh, P(pgo_axis))
+        clouds = jax.lax.with_sharding_constraint(
+            clouds, jax.tree.map(lambda _: shard, clouds))
     meta, row, mapped = jax.lax.cond(
         run_mapping,
-        lambda mm: mapping_mod.mapping_step(mm, clouds, assoc, cfg),
+        lambda mm: mapping_mod.mapping_step(mm, clouds, assoc, cfg,
+                                            mesh=mesh, pgo_axis=pgo_axis),
         lambda mm: (mm, keyframes.null_row(clouds.capacity),
                     mm.aft_mapped),
         state.mapping.meta)
@@ -93,28 +108,32 @@ def slam_step_impl(state: SlamState, raw: RawScan, cfg: LegoLoamConfig):
     return new_state, outputs
 
 
-slam_step = jax.jit(slam_step_impl, static_argnames="cfg")
+slam_step = jax.jit(slam_step_impl,
+                    static_argnames=("cfg", "mesh", "pgo_axis"))
 
 
 def replay_impl(xyz: Array, valid: Array, times: Array,
-                cfg: LegoLoamConfig):
+                cfg: LegoLoamConfig, mesh=None, pgo_axis: str = "pgo"):
     """Offline whole-sequence replay as one compiled ``lax.scan``
     (unjitted impl — see :func:`slam_step_impl` for why).
 
     Args: batched scans (N, P*3) / (N, P) / (N,) from
     ``io.npz_io.pack_sequence`` (coordinates row-flattened — see there).
+    ``mesh``: optional — single-stream sharded mode (see
+    :func:`slam_step_impl`).
 
     Returns (final_state, outputs dict of (N, 6) pose arrays).
     """
     def step(state, inp):
         x, v, t = inp
         raw = RawScan(xyz=x.reshape(-1, 3), valid=v, stamp=t)
-        return slam_step_impl(state, raw, cfg)
+        return slam_step_impl(state, raw, cfg, mesh=mesh,
+                              pgo_axis=pgo_axis)
 
     return jax.lax.scan(step, init_state(cfg), (xyz, valid, times))
 
 
-replay = jax.jit(replay_impl, static_argnames="cfg")
+replay = jax.jit(replay_impl, static_argnames=("cfg", "mesh", "pgo_axis"))
 
 
 @functools.partial(jax.jit, static_argnames="cfg")

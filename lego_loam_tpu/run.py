@@ -41,6 +41,10 @@ def main(argv=None):
     ap.add_argument("--odometry-only", action="store_true")
     ap.add_argument("--streaming", action="store_true",
                     help="per-scan streaming through the native channel")
+    ap.add_argument("--publish-every", type=int, default=10, metavar="N",
+                    help="streaming mode: emit map snapshots every Nth "
+                         "mapping cycle (reference cadence: 10, "
+                         "mapOptmization.cpp:1562-1568); 0 disables")
     ap.add_argument("--debug-scan", type=int, default=None, metavar="I",
                     help="also dump per-scan frontend debug clouds for "
                          "scan I (the reference's rviz topics, as .npz)")
@@ -55,7 +59,8 @@ def main(argv=None):
     from .core import se3
     from .core.config import vlp16
     from .core.params import config_from_yaml
-    from .eval.artifacts import StageTimer, dump_run_artifacts
+    from .eval.artifacts import (StageTimer, dump_map_artifacts,
+                                 dump_run_artifacts)
     from .eval.metrics import ate
     from .io.npz_io import load_sequence, pack_sequence
 
@@ -97,7 +102,10 @@ def main(argv=None):
 
         state = init_state(cfg)
         fused_list = []
+        publish_scans = (args.publish_every
+                         * cfg.mapping.mapping_frequency_divider)
         t0 = time.time()
+        i = 0
         while True:
             item = ch.recv()
             if item is None:
@@ -109,6 +117,13 @@ def main(argv=None):
             state, out = slam_step(state, raw, cfg)
             fused_list.append(np.asarray(out["fused"]))
             timer.add("slam_step", time.time() - t1)
+            i += 1
+            # runtime-cadence map publication (every 10th mapping cycle,
+            # mapOptmization.cpp:1562-1568) — observability DURING the run
+            if args.publish_every and i % publish_scans == 0:
+                t1 = time.time()
+                dump_map_artifacts(args.output, state, cfg, suffix="_live")
+                timer.add("publish_map", time.time() - t1)
         wall = time.time() - t0
         outs = {"fused": np.asarray(fused_list)}
         final_state = state
@@ -134,6 +149,16 @@ def main(argv=None):
     metrics = {"scans_per_sec": round(rate, 2),
                "realtime_factor": round(speed_x, 2),
                "stages": timer.summary()}
+    if not cfg.pipeline.odometry_only:
+        kf_drop = int(final_state.mapping.meta.kf_dropped)
+        f_drop = int(final_state.mapping.meta.factor_dropped)
+        metrics["kf_dropped"] = kf_drop
+        metrics["factor_dropped"] = f_drop
+        if kf_drop or f_drop:
+            print(f"[lego-loam-tpu] WARNING: capacity saturated — "
+                  f"{kf_drop} keyframes / {f_drop} factors dropped; "
+                  f"raise mapping.max_keyframes / max_loop_factors",
+                  file=sys.stderr)
     if gt is not None:
         gt_j = jnp.asarray(gt)
         gt_rel = np.asarray(jax.vmap(

@@ -122,3 +122,92 @@ def test_bag_feeds_pipeline(tmp_path, small_sequence):
     main(["--input", p, "--output", out, "--odometry-only"])
     import os
     assert os.path.exists(os.path.join(out, "trajectory_fused.tum"))
+
+
+def test_lz4_block_and_frame_decode():
+    """Hand-built LZ4 frame: one compressed block (literals + overlapping
+    match) and one stored block."""
+    import struct
+
+    from lego_loam_tpu.io.rosbag import (_lz4_block_decompress,
+                                         _lz4_frame_decompress)
+
+    # token 0x44: 4 literals "ABCD", match len 4+4=8 at offset 4
+    block = bytes([0x44]) + b"ABCD" + struct.pack("<H", 4)
+    out = bytearray()
+    _lz4_block_decompress(block, out)
+    assert bytes(out) == b"ABCDABCDABCD"
+
+    # frame: magic, FLG (version 01 <<6), BD, header checksum byte,
+    # then [compressed block][stored block][end mark]
+    stored = b"hello world"
+    frame = (struct.pack("<I", 0x184D2204) + bytes([0x40, 0x70, 0x00])
+             + struct.pack("<I", len(block)) + block
+             + struct.pack("<I", 0x80000000 | len(stored)) + stored
+             + struct.pack("<I", 0))
+    assert _lz4_frame_decompress(frame) == b"ABCDABCDABCD" + stored
+
+
+def test_lz4_chunked_bag_roundtrip(tmp_path):
+    """A bag whose chunk is LZ4-framed (stored blocks — what matters is
+    the chunk path through _decompress) must read back identically."""
+    import struct
+
+    from lego_loam_tpu.io import rosbag as rb
+
+    rng = np.random.default_rng(3)
+    scans = [rng.normal(size=(50, 3)).astype(np.float32)
+             for _ in range(3)]
+    times = [10.0, 10.1, 10.2]
+    plain = str(tmp_path / "plain.bag")
+    rb.write_bag(plain, scans, times)
+
+    # recompress the chunk record as lz4 (stored blocks)
+    raw = open(plain, "rb").read()
+    buf = raw[len(rb.MAGIC):]
+    out = [rb.MAGIC]
+    for header, data in rb._iter_records(buf):
+        op = header.get(b"op", b"\x00")[0]
+        if op == rb.OP_CHUNK:
+            frame = (struct.pack("<I", 0x184D2204)
+                     + bytes([0x40, 0x70, 0x00])
+                     + struct.pack("<I", 0x80000000 | len(data)) + data
+                     + struct.pack("<I", 0))
+            header = dict(header)
+            header[b"compression"] = b"lz4"
+            data = frame
+        h = rb._encode_fields(header)
+        out.append(struct.pack("<I", len(h)) + h
+                   + struct.pack("<I", len(data)) + data)
+    lz4_path = str(tmp_path / "lz4.bag")
+    open(lz4_path, "wb").write(b"".join(out))
+
+    got, _gt, t = rb.load_bag(lz4_path)
+    assert len(got) == 3
+    for a, b in zip(got, scans):
+        np.testing.assert_allclose(a, b, rtol=0, atol=0)
+
+
+def test_written_bag_is_indexed(tmp_path):
+    """The writer emits IndexData + ChunkInfo + a nonzero index_pos."""
+    import struct
+
+    from lego_loam_tpu.io import rosbag as rb
+
+    scans = [np.zeros((10, 3), np.float32)]
+    path = str(tmp_path / "x.bag")
+    rb.write_bag(path, scans, [1.5])
+    buf = open(path, "rb").read()[len(rb.MAGIC):]
+    ops = []
+    index_pos = None
+    for header, data in rb._iter_records(buf):
+        op = header.get(b"op", b"\x00")[0]
+        ops.append(op)
+        if op == rb.OP_BAG_HEADER:
+            (index_pos,) = struct.unpack("<Q", header[b"index_pos"])
+        if op == rb.OP_INDEX:
+            assert struct.unpack("<I", header[b"count"])[0] == 1
+            s, ns, off = struct.unpack("<III", data)
+            assert s == 1 and off > 0
+    assert rb.OP_INDEX in ops and rb.OP_CHUNK_INFO in ops
+    assert index_pos and index_pos > 0
