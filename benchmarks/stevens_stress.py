@@ -2,7 +2,8 @@
 
 Usage: PYTHONPATH=. python benchmarks/stevens_stress.py  (TPU; one process at a time)
 """
-import os, time
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax, jax.numpy as jnp
 print("backend:", jax.default_backend())
@@ -24,6 +25,9 @@ seed = int(os.environ.get("SEED", "77"))
 kf_cap = int(os.environ.get("KF_CAP", "8192" if n > 4000 else "4096"))
 cfg = cfg.replace(mapping=dataclasses.replace(
     cfg.mapping, max_keyframes=kf_cap,
+    scan2map_reassoc_every=int(os.environ.get(
+        "REASSOC", cfg.mapping.scan2map_reassoc_every)),
+    enable_loop_closure=os.environ.get("LOOP", "1") == "1",
     max_loop_factors=max(1024, cfg.mapping.max_loop_factors)))
 cache = f"/tmp/stevens_{n}_{seed}.npz" if seed != 77 else \
     f"/tmp/stevens_{n}.npz"

@@ -84,18 +84,17 @@ def voxel_downsample(xyz: Array, valid: Array, leaf: float, capacity: int):
     new_voxel = _run_starts(qs, vs)
     seg = jnp.cumsum(new_voxel.astype(jnp.int32)) - 1      # voxel ordinal
     n_vox = jnp.sum(new_voxel)
-    # Saturation (n_vox > capacity) must NOT truncate by ordinal: the
-    # voxel-key order is monotone in x, so a plain cut would censor the
-    # cloud at an x-plane (found in r2 as a loop-closure ICP dragged
-    # metres toward the surviving half-space).  Remap ordinals uniformly
-    # onto the slots instead — evenly-spaced ADJACENT voxels merge into
-    # one centroid (a locally coarser filter).  Float ratio avoids
-    # int32 overflow of seg*capacity; ratio is EXACTLY 1.0 when not
-    # saturated, so the unsaturated path is bit-identical.
-    r = jnp.float32(capacity) / jnp.maximum(n_vox, capacity).astype(
-        jnp.float32)
-    seg = jnp.minimum(jnp.floor(seg.astype(jnp.float32) * r), capacity - 1
-                      ).astype(jnp.int32)
+    # Saturation (n_vox > capacity): excess voxels are truncated in
+    # voxel-key order, which is monotone in x.  For the SENSOR-frame
+    # per-scan filters (the only call sites that actually saturate —
+    # the per-scan surf cloud hits ~2700 voxels into 2048 slots) this
+    # acts as a forward-range cap on the farthest points, which the r2
+    # A/B showed is ATE-POSITIVE (far points carry the worst noise and
+    # conditioning; Stevens 3.2 m vs 29-48 m for uniform-drop/merge
+    # policies that keep far geometry at near-field expense).  For
+    # WORLD-frame aggregates the same truncation would censor the map
+    # at an x-plane and break loop ICP — size those capacities to never
+    # saturate (loop_history_cap, max_map_*; see loop/detect.py).
     seg = jnp.where(vs, seg, capacity)                     # drop invalid
 
     w = vs.astype(xyz.dtype)
@@ -181,11 +180,7 @@ def voxel_downsample_with_payload(xyz: Array, payload: Array, valid: Array,
     new_voxel = _run_starts(qs, vs)
     seg = jnp.cumsum(new_voxel.astype(jnp.int32)) - 1
     n_vox = jnp.sum(new_voxel)
-    # uniform saturation remap — see voxel_downsample
-    r = jnp.float32(capacity) / jnp.maximum(n_vox, capacity).astype(
-        jnp.float32)
-    seg = jnp.minimum(jnp.floor(seg.astype(jnp.float32) * r), capacity - 1
-                      ).astype(jnp.int32)
+    # saturation truncates in key order — see voxel_downsample
     seg = jnp.where(vs, seg, capacity)
 
     w = vs.astype(xyz.dtype)
