@@ -1,7 +1,9 @@
 """HDL-64 (KITTI-geometry) full-pipeline drive (BASELINE.json config 4).
 
 Usage: python benchmarks/kitti64_drive.py   (TPU; one process at a time)
+Set OUT=KITTI64_rNN.json to write the judged artifact.
 """
+import json
 import os
 import sys
 import time
@@ -53,6 +55,25 @@ def main():
     m = ate(fused[:-1], gt_rel[1:len(fused)], align=False)
     print("ATE:", {k: round(v, 3) for k, v in m.items()})
     print("keyframes:", int(final.mapping.store.count))
+
+    out_path = os.environ.get("OUT")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump({
+                "benchmark": "kitti64_drive",
+                "backend": jax.default_backend(),
+                "geometry": [cfg.laser.num_vertical_scans,
+                             cfg.laser.num_horizontal_scans],
+                "max_points": cfg.pipeline.max_points,
+                "n_scans": n,
+                "scans_per_sec": round(n / dt, 1),
+                "ms_per_scan": round(dt * 1000 / n, 2),
+                "keyframes": int(final.mapping.store.count),
+                "kf_dropped": int(final.mapping.meta.kf_dropped),
+                "map_voxel_sat": int(final.mapping.meta.map_sat),
+                "ate": {k: round(v, 4) for k, v in m.items()},
+            }, f, indent=1)
+        print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":

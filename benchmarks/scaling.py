@@ -123,7 +123,11 @@ def _spawn_hosts(n_proc, local_devices, n_scans, out):
 
 
 def main_hosts(max_hosts):
-    """BASELINE frames/s table: 1 chip / 1 host / N hosts."""
+    """BASELINE frames/s table: 1 chip / 1 host / N hosts.
+
+    Set OUT=SCALING_rNN.json to write the judged artifact."""
+    import json
+
     local_devices, n_scans = 4, 40
     out = "/tmp/scaling_hosts.npz"
     rows = []
@@ -138,15 +142,35 @@ def main_hosts(max_hosts):
     base_host = rows[1][2]
     print(f"\n{'config':8s} {'devices':>7s} {'scans/s':>9s} "
           f"{'efficiency':>10s}")
+    table = []
     for name, ndev, rate in rows:
         eff = rate / (base_host * ndev / local_devices) \
             if ndev >= local_devices else rate / (one_chip * ndev)
         print(f"{name:8s} {ndev:7d} {rate:9.1f} {eff * 100:9.1f}%")
+        table.append({"config": name.strip(), "devices": ndev,
+                      "scans_per_sec": round(rate, 1),
+                      "efficiency_pct": round(eff * 100, 1)})
     n_hosts_meas = [r for r in rows[1:]]
+    eff2 = None
     if len(n_hosts_meas) >= 2:
         eff2 = n_hosts_meas[1][2] / (2 * n_hosts_meas[0][2])
         print(f"\n2-host scaling efficiency: {eff2 * 100:.1f}% "
               f"(target >= 80%)")
+    out_path = os.environ.get("OUT")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump({
+                "benchmark": "host_scaling",
+                "backend": "cpu (fake hosts: real jax.distributed "
+                           "processes, virtual CPU devices)",
+                "local_devices_per_host": local_devices,
+                "n_scans_per_stream": n_scans,
+                "table": table,
+                "two_host_efficiency_pct":
+                    round(eff2 * 100, 1) if eff2 else None,
+                "target_pct": 80.0,
+            }, f, indent=1)
+        print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":

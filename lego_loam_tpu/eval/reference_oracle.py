@@ -391,6 +391,13 @@ class ReferenceOracle:
         self.kf_poses: List[np.ndarray] = []
         self.kf_corner: List[np.ndarray] = []
         self.kf_surf: List[np.ndarray] = []
+        self.kf_stamps: List[float] = []
+        # odometry between-measurements captured at insertion
+        # (saveKeyFramesAndFactor, mO.cpp:1384-1398)
+        self.odom_meas: List[np.ndarray] = []
+        # accepted loop factors (i_latest, j_old, z, fitness)
+        self.loop_factors: List[tuple] = []
+        self.map_cycle = 0
         self.aft = np.zeros(6)
         self.bef = np.zeros(6)
         self.fused_poses: List[np.ndarray] = []
@@ -575,7 +582,7 @@ class ReferenceOracle:
         return out
 
     # ----------------------------------------------------- mapping
-    def _mapping(self, pr, less_sharp, less_flat):
+    def _mapping(self, pr, less_sharp, less_flat, stamp=0.0):
         m = self.cfg.mapping
         # transformAssociateToMap (mO.cpp:264-387)
         pred = compose(self.aft, compose(inverse(self.bef), self.odom))
@@ -607,11 +614,156 @@ class ReferenceOracle:
         # keyframe gate (mO.cpp:1346-1353)
         if not self.kf_poses or np.linalg.norm(
                 pose[3:] - self.kf_poses[-1][3:]) >= m.keyframe_distance:
+            if self.kf_poses:
+                self.odom_meas.append(
+                    compose(inverse(self.kf_poses[-1]), pose))
             self.kf_poses.append(pose.copy())
             self.kf_corner.append(corner)
             self.kf_surf.append(surf)
+            self.kf_stamps.append(float(stamp))
         self.aft = pose
         self.bef = self.odom.copy()
+        # loop closure every 3rd mapping cycle (mO.cpp:1562-1568)
+        self.map_cycle += 1
+        if (m.enable_loop_closure and len(self.kf_poses) > 2
+                and self.map_cycle % m.loop_every_n_mapping == 0):
+            self._loop_closure(float(stamp))
+
+    # --------------------------------------------------- loop closure
+    def _loop_closure(self, stamp: float):
+        """``detectLoopClosure`` + ``performLoopClosure`` + pose-graph
+        correction (``mapOptmization.cpp:696-854, 1481-1511``): nearest
+        keypose within 7 m that is ≥30 s older; target submap = candidate
+        ±25 keyframes at 0.4 m; source = latest keyframe; point-to-point
+        ICP gated on fitness < 0.3; accepted factor triggers a full
+        pose-graph re-solve and keyframe pose rewrite (the oracle solves
+        the batch problem scipy-style instead of iSAM2 — same fixed
+        point, mO.cpp:1411-1415)."""
+        m = self.cfg.mapping
+        cur = self.kf_poses[-1]
+        pos = np.array([p[3:] for p in self.kf_poses])
+        age = stamp - np.array(self.kf_stamps)
+        d = np.linalg.norm(pos - cur[3:], axis=1)
+        elig = (age > m.loop_closure_time_gap) & \
+            (d < m.history_keyframe_search_radius)
+        if not elig.any():
+            return
+        j = int(np.argmin(np.where(elig, d, np.inf)))
+
+        lo = max(0, j - m.history_keyframe_search_num)
+        hi = min(len(self.kf_poses), j + m.history_keyframe_search_num + 1)
+        tgt = voxel_down(np.concatenate(
+            [apply(self.kf_poses[k], np.concatenate(
+                [self.kf_corner[k], self.kf_surf[k]]))
+             for k in range(lo, hi)]), m.outlier_leaf_size)
+        src = np.concatenate([apply(cur, self.kf_corner[-1]),
+                              apply(cur, self.kf_surf[-1])])
+        if len(tgt) < 50 or len(src) < 50:
+            return
+
+        corr, fitness = self._icp(src, tgt)
+        if fitness >= m.history_keyframe_fitness_score:
+            return
+        corrected = compose(corr, cur)
+        z = compose(inverse(corrected), self.kf_poses[j])
+        self.loop_factors.append((len(self.kf_poses) - 1, j, z, fitness))
+        old_latest = self.kf_poses[-1].copy()
+        self._solve_pose_graph()
+        # carry the correction onto the running mapped pose (correctPoses
+        # rewrites keyposes; aft tracks the latest, mO.cpp:1503-1509)
+        delta = compose(self.kf_poses[-1], inverse(old_latest))
+        self.aft = compose(delta, self.aft)
+
+    def _icp(self, src: np.ndarray, tgt: np.ndarray):
+        """pcl::IterativeClosestPoint-style NN + rigid (Horn) alignment
+        (``mapOptmization.cpp:785-800``); fitness = mean squared NN
+        distance (pcl getFitnessScore)."""
+        m = self.cfg.mapping
+        tree = cKDTree(tgt)
+        pose = np.zeros(6)
+        for _ in range(m.icp_max_iters):
+            moved = apply(pose, src)
+            dd, jj = tree.query(moved)
+            w = dd < m.icp_max_corr_dist
+            if w.sum() < 10:
+                return pose, np.inf
+            a = moved[w]
+            b = tgt[jj[w]]
+            ca, cb = a.mean(0), b.mean(0)
+            H = (a - ca).T @ (b - cb)
+            U, _, Vt = np.linalg.svd(H)
+            S = np.diag([1.0, 1.0, np.sign(np.linalg.det(Vt.T @ U.T))])
+            R = Vt.T @ S @ U.T
+            t = cb - R @ ca
+            step = np.concatenate([to_rpy(R), t])
+            pose = compose(step, pose)
+            if float(np.sum(step ** 2)) < m.icp_eps:
+                break
+        moved = apply(pose, src)
+        dd, _ = tree.query(moved)
+        w = dd < m.icp_max_corr_dist
+        return pose, float((dd[w] ** 2).mean()) if w.any() else np.inf
+
+    def _solve_pose_graph(self, gn_iters: int = 6):
+        """Batch GN over the prior + odometry chain + loop factors
+        (node 0 pinned by a stiff prior); Euler residual
+        ``pack(xi⁻¹ ∘ xj) − z`` with angle wrap, per-factor FD Jacobians
+        (each factor touches only its two pose blocks) — the same fixed
+        point the reference's iSAM2 chain converges to
+        (``mapOptmization.cpp:1411-1415, 1481-1511``)."""
+        m = self.cfg.mapping
+        K = len(self.kf_poses)
+        if K < 2:
+            return
+        w_odom = np.asarray(m.odom_factor_weight, float)
+        factors = [(k, k + 1, z, w_odom)
+                   for k, z in enumerate(self.odom_meas)]
+        factors += [(i, j, z,
+                     np.full(6, 1.0 / math.sqrt(max(fit, 1e-4))))
+                    for (i, j, z, fit) in self.loop_factors]
+
+        def wrap(a):
+            return (a + math.pi) % (2 * math.pi) - math.pi
+
+        def fres(xi, xj, z):
+            r = compose(inverse(xi), xj) - z
+            r[:3] = wrap(r[:3])
+            return r
+
+        poses = np.stack(self.kf_poses).astype(float)
+        eps = 1e-6
+        for _ in range(gn_iters):
+            H = np.zeros((6 * K, 6 * K))
+            b = np.zeros(6 * K)
+            for (i, j, z, w) in factors:
+                r = w * fres(poses[i], poses[j], z)
+                Ji = np.zeros((6, 6))
+                Jj = np.zeros((6, 6))
+                for dof in range(6):
+                    pi = poses[i].copy()
+                    pi[dof] += eps
+                    Ji[:, dof] = (w * fres(pi, poses[j], z) - r) / eps
+                    pj = poses[j].copy()
+                    pj[dof] += eps
+                    Jj[:, dof] = (w * fres(poses[i], pj, z) - r) / eps
+                si, sj = slice(6 * i, 6 * i + 6), slice(6 * j, 6 * j + 6)
+                H[si, si] += Ji.T @ Ji
+                H[sj, sj] += Jj.T @ Jj
+                H[si, sj] += Ji.T @ Jj
+                H[sj, si] += Jj.T @ Ji
+                b[si] += Ji.T @ r
+                b[sj] += Jj.T @ r
+            H[:6, :6] += 1e8 * np.eye(6)          # prior pins node 0
+            try:
+                dx = np.linalg.solve(H + 1e-9 * np.eye(6 * K), -b)
+            except np.linalg.LinAlgError:
+                return
+            poses = poses + dx.reshape(K, 6)
+            poses[:, :3] = wrap(poses[:, :3])
+            if float(np.abs(dx).max()) < 1e-7:
+                break
+        for k in range(K):
+            self.kf_poses[k] = poses[k]
 
     def _scan2map(self, pose, corner, surf, map_c, map_s):
         """10-iteration 6-DoF LM with per-iteration 5-NN
@@ -729,7 +881,7 @@ class ReferenceOracle:
         div = self.cfg.mapping.mapping_frequency_divider
         if (self.scan_count % div) == div - 1 \
                 and not self.cfg.pipeline.odometry_only:
-            self._mapping(pr, less_sharp, less_flat)
+            self._mapping(pr, less_sharp, less_flat, stamp=stamp)
         self.scan_count += 1
 
         fused = compose(self.aft, compose(inverse(self.bef), self.odom))

@@ -267,9 +267,10 @@ def assemble_global_map(store: KeyframeStore, center: Array,
     return out_xyz, out_ok
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "window"))
+@functools.partial(jax.jit, static_argnames=("cfg", "window", "with_sat"))
 def assemble_submap(store: KeyframeStore, cur_pose: Array,
-                    cfg: LegoLoamConfig, window: int = 50):
+                    cfg: LegoLoamConfig, window: int = 50,
+                    with_sat: bool = False):
     """Build the local corner/surf maps around the current pose.
 
     Merges the reference's two modes (``extractSurroundingKeyFrames``,
@@ -280,7 +281,13 @@ def assemble_submap(store: KeyframeStore, cur_pose: Array,
     concatenated, and voxel-downsampled to fixed capacities (corner 0.2 m,
     surf(+outlier) 0.4 m, :988-995).
 
-    Returns (corner_map: MapCloud, surf_map: MapCloud).
+    Returns (corner_map: MapCloud, surf_map: MapCloud) — plus, with
+    ``with_sat``, a () int32 count of voxels TRUNCATED by the
+    ``max_map_corner``/``max_map_surf`` capacity cut.  These are
+    WORLD-frame filters, where key-order truncation censors the map at
+    an x-plane (see ``match/voxelhash.py``); the pipeline threads this
+    into ``MappingMeta.map_sat`` so saturation is a counter + warning,
+    not a silent accuracy bug.
     """
     m = cfg.mapping
     K = store.capacity
@@ -303,15 +310,21 @@ def assemble_submap(store: KeyframeStore, cur_pose: Array,
     out_w = jax.vmap(_transform_block)(
         sel_pose, as_points(store.outlier[sel_idx]), out_valid)
 
-    corner_xyz, corner_ok = voxel_downsample(
+    corner_xyz, corner_ok, n_vox_c = voxel_downsample(
         corner_w.reshape(-1, 3), corner_valid.reshape(-1),
-        m.corner_leaf_size, m.max_map_corner)
+        m.corner_leaf_size, m.max_map_corner, with_count=True)
     surf_all = jnp.concatenate(
         [surf_w.reshape(-1, 3), out_w.reshape(-1, 3)], axis=0)
     surf_all_valid = jnp.concatenate(
         [surf_valid.reshape(-1), out_valid.reshape(-1)], axis=0)
-    surf_xyz, surf_ok = voxel_downsample(
-        surf_all, surf_all_valid, m.surf_leaf_size, m.max_map_surf)
+    surf_xyz, surf_ok, n_vox_s = voxel_downsample(
+        surf_all, surf_all_valid, m.surf_leaf_size, m.max_map_surf,
+        with_count=True)
 
-    return (MapCloud(xyz=corner_xyz, valid=corner_ok),
+    maps = (MapCloud(xyz=corner_xyz, valid=corner_ok),
             MapCloud(xyz=surf_xyz, valid=surf_ok))
+    if with_sat:
+        sat = (jnp.maximum(n_vox_c - m.max_map_corner, 0)
+               + jnp.maximum(n_vox_s - m.max_map_surf, 0))
+        return maps + (sat,)
+    return maps

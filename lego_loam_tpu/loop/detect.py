@@ -73,8 +73,11 @@ def _gather_history(store: KeyframeStore, row, center: Array,
         return jnp.where(valid[:, None], se3.apply(pose, pts), 0.0), valid
 
     pts, valid = jax.vmap(one)(ks, ok)
-    return voxel_downsample(pts.reshape(-1, 3), valid.reshape(-1),
-                            m.outlier_leaf_size, m.loop_history_cap)
+    tgt, tgt_valid, n_vox = voxel_downsample(
+        pts.reshape(-1, 3), valid.reshape(-1),
+        m.outlier_leaf_size, m.loop_history_cap, with_count=True)
+    # world-frame aggregate: truncation censors at an x-plane — count it
+    return tgt, tgt_valid, jnp.maximum(n_vox - m.loop_history_cap, 0)
 
 
 def _gather_latest(store: KeyframeStore, row, idx: Array,
@@ -135,23 +138,26 @@ def detect_and_verify(store: KeyframeStore, row, cur_stamp: Array,
     found, old_idx = find_candidate(store, gate_pose, cur_stamp, cfg)
 
     def attempt():
-        tgt, tgt_valid = _gather_history(store, row, old_idx, cfg)
+        tgt, tgt_valid, hist_sat = _gather_history(store, row, old_idx,
+                                                   cfg)
         src, src_valid = _gather_latest(store, row, latest,
                                         m.loop_source_cap)
         corr, fitness, n_corr = icp_align(
             src, src_valid, tgt, tgt_valid,
             max_iters=m.icp_max_iters,
-            max_corr_dist=m.icp_max_corr_dist, eps=m.icp_eps)
+            max_corr_dist=m.icp_max_corr_dist, eps=m.icp_eps,
+            knn_impl=m.knn_impl)
         ok = (fitness < m.history_keyframe_fitness_score) & (n_corr > 100)
         corrected = se3.compose(corr, cur_pose)
         z = se3.relative(corrected, store.pose[old_idx])
-        return ok, z, fitness, corrected
+        return ok, z, fitness, corrected, hist_sat
 
     def skip():
         return (jnp.bool_(False), jnp.zeros((6,), jnp.float32),
-                jnp.float32(1e9), cur_pose)
+                jnp.float32(1e9), cur_pose, jnp.int32(0))
 
-    ok, z, fitness, corrected = jax.lax.cond(found, attempt, skip)
+    ok, z, fitness, corrected, hist_sat = jax.lax.cond(found, attempt,
+                                                       skip)
     return {
         "found": ok,
         "old_idx": old_idx,
@@ -159,4 +165,6 @@ def detect_and_verify(store: KeyframeStore, row, cur_stamp: Array,
         "z": z,
         "fitness": fitness,
         "corrected_pose": corrected,
+        # voxels truncated by loop_history_cap in the ICP target filter
+        "sat": hist_sat,
     }

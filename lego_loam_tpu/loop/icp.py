@@ -35,23 +35,26 @@ def _horn(src: Array, tgt: Array, w: Array):
     return jnp.concatenate([se3.matrix_to_rpy(R), t])
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters",))
+@functools.partial(jax.jit, static_argnames=("max_iters", "knn_impl"))
 def icp_align(src: Array, src_valid: Array, tgt: Array, tgt_valid: Array,
               max_iters: int = 30, max_corr_dist: float = 100.0,
-              eps: float = 1.0e-6):
+              eps: float = 1.0e-6, knn_impl: str = None):
     """Align ``src`` onto ``tgt``.
 
     Returns (pose (6,) such that ``apply(pose, src) ≈ tgt``,
     fitness (mean squared NN distance), n_corr).
+
+    ``knn_impl`` selects the 1-NN backend ("xla" | "pallas" — first
+    column of the shared 5-NN, ``match/pallas_knn.py``); callers inside
+    the pipeline pass ``MappingConfig.knn_impl`` so ONE config toggle
+    governs every kNN call site.  None falls back to the knn5 default
+    (env ``LEGO_KNN_IMPL``, else "xla" — the measured-faster path).
     """
     max_d2 = max_corr_dist ** 2
 
     def nn_fit(pose):
         moved = se3.apply(pose, src)
-        # 1-NN via the fused Pallas 5-NN kernel (first column; the (Q, M)
-        # distance matrix would be ~512 MB of HBM traffic per iteration
-        # through XLA at loop capacities)
-        idx, d2s = knn5(moved, src_valid, tgt, tgt_valid)
+        idx, d2s = knn5(moved, src_valid, tgt, tgt_valid, impl=knn_impl)
         match = tgt[idx[:, 0]]
         # exact distances for weights and PCL-style fitness (the
         # selection matrix runs at Precision.HIGH — see pairwise_sqdist)

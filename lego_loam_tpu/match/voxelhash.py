@@ -65,8 +65,10 @@ def _run_starts(q_sorted: Array, vs: Array):
     return jnp.concatenate([jnp.ones((1,), bool), diff]) & vs
 
 
-@functools.partial(jax.jit, static_argnames=("leaf", "capacity"))
-def voxel_downsample(xyz: Array, valid: Array, leaf: float, capacity: int):
+@functools.partial(jax.jit, static_argnames=("leaf", "capacity",
+                                              "with_count"))
+def voxel_downsample(xyz: Array, valid: Array, leaf: float, capacity: int,
+                     with_count: bool = False):
     """Centroid voxel filter.
 
     Args:
@@ -74,10 +76,18 @@ def voxel_downsample(xyz: Array, valid: Array, leaf: float, capacity: int):
       valid: (N,) bool.
       leaf: voxel edge length (metres).
       capacity: fixed output size.
+      with_count: also return ``n_vox`` (() int32), the number of
+        occupied voxels BEFORE the capacity cut — callers filtering
+        world-frame aggregates must count ``max(n_vox - capacity, 0)``
+        as saturation (see the truncation note below): a saturated
+        world-frame filter censors the map at an x-plane, and that must
+        be a loud counter, not a silent bug (the reference's
+        pcl::VoxelGrid has no capacity at all,
+        ``mapOptmization.cpp:988-995``).
 
     Returns:
-      (out_xyz (capacity,3), out_valid (capacity,)) — one centroid per
-      occupied voxel, in voxel-key order; padded with zeros.
+      (out_xyz (capacity,3), out_valid (capacity,)[, n_vox]) — one
+      centroid per occupied voxel, in voxel-key order; padded with zeros.
     """
     qs, xs, _, vs = _sorted_pack(
         xyz, jnp.zeros((xyz.shape[0], 0), xyz.dtype), valid, leaf)
@@ -105,6 +115,8 @@ def voxel_downsample(xyz: Array, valid: Array, leaf: float, capacity: int):
     out_valid = jnp.arange(capacity) < jnp.minimum(n_vox, capacity)
     out_xyz = jnp.where(out_valid[:, None],
                         sums[:, :3] / jnp.maximum(cnts, 1.0)[:, None], 0.0)
+    if with_count:
+        return out_xyz, out_valid, n_vox.astype(jnp.int32)
     return out_xyz, out_valid
 
 

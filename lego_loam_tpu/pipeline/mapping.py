@@ -67,6 +67,12 @@ class MappingMeta:
     # (checked by benchmarks/stevens_stress.py and surfaced by run.py).
     kf_dropped: Array      # () int32 keyframes lost to capacity
     factor_dropped: Array  # () int32 factors lost to capacity
+    map_sat: Array         # () int32 world-frame voxel-filter overflow:
+    #   voxels truncated by max_map_corner/max_map_surf (radius-submap
+    #   assembly) or loop_history_cap (loop-ICP target).  Key-order
+    #   truncation of a WORLD-frame aggregate censors the map at an
+    #   x-plane (match/voxelhash.py) — nonzero means those capacities
+    #   are undersized for the run.
 
 
 @struct.dataclass
@@ -108,7 +114,8 @@ def init_state(cfg: LegoLoamConfig) -> MappingState:
         bef_mapped=jnp.zeros((6,), jnp.float32),
         initialized=jnp.bool_(False),
         kf_dropped=jnp.int32(0),
-        factor_dropped=jnp.int32(0))
+        factor_dropped=jnp.int32(0),
+        map_sat=jnp.int32(0))
     return MappingState(meta=meta, clouds=empty_clouds(cfg))
 
 
@@ -167,6 +174,7 @@ def mapping_step(meta: MappingMeta, clouds: KeyframeClouds,
         assoc.scan2d_xyz, assoc.scan2d_valid, 0.1, SCAN2D_CAP)
 
     # extractSurroundingKeyFrames (:857-996) has two modes:
+    map_sat = meta.map_sat
     if m.enable_loop_closure:
         # loop-ON: latest-N window (:863-913) — read the persistent
         # incremental voxel grid instead of re-assembling 50 keyframes
@@ -181,8 +189,10 @@ def mapping_step(meta: MappingMeta, clouds: KeyframeClouds,
         # world-frame epochs on long runs).
         store0 = KeyframeStore(pose=meta.kf_pose, stamp=meta.kf_stamp,
                                count=meta.kf_count, clouds=clouds)
-        corner_map, surf_map = assemble_submap(
-            store0, pred, cfg, window=m.surrounding_keyframe_search_num)
+        corner_map, surf_map, submap_sat = assemble_submap(
+            store0, pred, cfg, window=m.surrounding_keyframe_search_num,
+            with_sat=True)
+        map_sat = map_sat + submap_sat
 
     pose = scan_to_map(pred, corner_ds, corner_ok, surf_total,
                        surf_total_ok, corner_map, surf_map, cfg)
@@ -242,11 +252,12 @@ def mapping_step(meta: MappingMeta, clouds: KeyframeClouds,
                 & (meta.cycle % m.loop_every_n_mapping == 0)
                 & (kf_count > 2))
 
-    def with_loop(kf_pose_a, grid, graph, fcount, fdrop, aft):
+    def with_loop(kf_pose_a, grid, graph, fcount, fdrop, msat, aft):
         store2 = KeyframeStore(pose=kf_pose_a, stamp=kf_stamp,
                                count=kf_count, clouds=clouds)
         res = detect_and_verify(store2, row, assoc.stamp, cfg,
                                 robot_pose=pose)
+        msat = msat + res["sat"]
 
         def closed(kf_pose_a, grid, graph, fcount, fdrop, aft):
             w = jnp.full((6,), 1.0 / jnp.sqrt(
@@ -284,18 +295,21 @@ def mapping_step(meta: MappingMeta, clouds: KeyframeClouds,
                 window=m.surrounding_keyframe_search_num)
             return new_poses, grid, graph, fcount, fdrop, aft
 
-        return jax.lax.cond(res["found"], closed,
-                            lambda p, gr, g, f, d, a: (p, gr, g, f, d, a),
-                            kf_pose_a, grid, graph, fcount, fdrop, aft)
+        p, gr, g, f, d, a = jax.lax.cond(
+            res["found"], closed,
+            lambda p, gr, g, f, d, a: (p, gr, g, f, d, a),
+            kf_pose_a, grid, graph, fcount, fdrop, aft)
+        return p, gr, g, f, d, msat, a
 
-    kf_pose, grid, graph, fcount, fdrop, pose = jax.lax.cond(
-        run_loop, with_loop, lambda p, gr, g, f, d, a: (p, gr, g, f, d, a),
-        kf_pose, grid, graph, fcount, fdrop, pose)
+    kf_pose, grid, graph, fcount, fdrop, map_sat, pose = jax.lax.cond(
+        run_loop, with_loop,
+        lambda p, gr, g, f, d, s, a: (p, gr, g, f, d, s, a),
+        kf_pose, grid, graph, fcount, fdrop, map_sat, pose)
 
     new_meta = MappingMeta(
         kf_pose=kf_pose, kf_stamp=kf_stamp, kf_count=kf_count, grid=grid,
         graph=graph, factor_count=fcount, cycle=meta.cycle + 1,
         aft_mapped=pose, bef_mapped=assoc.odom,
         initialized=jnp.bool_(True),
-        kf_dropped=kf_dropped, factor_dropped=fdrop)
+        kf_dropped=kf_dropped, factor_dropped=fdrop, map_sat=map_sat)
     return new_meta, row, pose

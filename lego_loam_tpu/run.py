@@ -152,13 +152,20 @@ def main(argv=None):
     if not cfg.pipeline.odometry_only:
         kf_drop = int(final_state.mapping.meta.kf_dropped)
         f_drop = int(final_state.mapping.meta.factor_dropped)
+        m_sat = int(final_state.mapping.meta.map_sat)
         metrics["kf_dropped"] = kf_drop
         metrics["factor_dropped"] = f_drop
+        metrics["map_voxel_sat"] = m_sat
         if kf_drop or f_drop:
             print(f"[lego-loam-tpu] WARNING: capacity saturated — "
                   f"{kf_drop} keyframes / {f_drop} factors dropped; "
                   f"raise mapping.max_keyframes / max_loop_factors",
                   file=sys.stderr)
+        if m_sat:
+            print(f"[lego-loam-tpu] WARNING: world-frame voxel filters "
+                  f"truncated {m_sat} voxels (map censored at an "
+                  f"x-plane); raise mapping.max_map_corner/max_map_surf/"
+                  f"loop_history_cap", file=sys.stderr)
     if gt is not None:
         gt_j = jnp.asarray(gt)
         gt_rel = np.asarray(jax.vmap(
