@@ -117,7 +117,7 @@ def _spawn_hosts(n_proc, local_devices, n_scans, out):
          "--n-scans", str(n_scans), "--bench"],
         env=env, cwd=repo) for pid in range(n_proc)]
     for p in procs:
-        rc = p.wait(timeout=900)
+        rc = p.wait(timeout=1800)
         assert rc == 0, f"worker failed rc={rc}"
     return float(np.load(out)["rate"])
 

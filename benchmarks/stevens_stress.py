@@ -3,6 +3,7 @@
 Usage: PYTHONPATH=. python benchmarks/stevens_stress.py  (TPU; one process at a time)
 Set OUT=STEVENS_rNN.json to write the judged artifact.
 """
+import functools
 import json
 import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -50,26 +51,55 @@ else:
                                      trajectory="figure8")
     print(f"generated {base_n} scans in {time.time()-t0:.0f}s")
     save_sequence(cache, scans, gt, times)
+reps = (n + base_n - 1) // base_n
 if n > base_n:
-    reps = (n + base_n - 1) // base_n
-    scans = (scans * reps)[:n]
     gt = np.tile(gt, (reps, 1))[:n]
     times = (np.arange(n) * cfg.laser.scan_period).astype(np.float32)
     print(f"tiled to {n} scans ({reps} laps of the period)")
 
-xyz, valid, t = pack_sequence(scans, times, cfg)
-xyz, valid, t = jax.device_put((xyz, valid, t))
+# The tiled 20 K-scan input is ~7.9 GB of points — it does NOT fit
+# on-device next to the SLAM state (measured RESOURCE_EXHAUSTED), and
+# the engine never needs it to: feed fixed-shape CHUNKS through
+# pipeline.slam.replay_from (state carried across calls; bit-exact vs
+# one whole-sequence replay — tests/test_io.py, multi_session.py).
+# Chunks are gathered ON DEVICE from the one-period base (~275 MB), so
+# the host→device traffic is one base transfer total.
+from lego_loam_tpu.pipeline.slam import init_state, replay_from
+
+chunk = min(n, int(os.environ.get("CHUNK", "2000")))
+assert n % chunk == 0, (n, chunk)
+xyz_b, valid_b, _ = pack_sequence(scans, times[:base_n], cfg)
+times_n = jnp.asarray(times[:n])
+xyz_b, valid_b = jax.device_put((xyz_b, valid_b))
+
+
+@functools.partial(jax.jit, static_argnames=())
+def chunk_inputs(xb, vb, c0):
+    rows = (c0 + jnp.arange(chunk)) % base_n
+    return xb[rows], vb[rows], jax.lax.dynamic_slice(
+        times_n, (c0,), (chunk,))
+
+
+def run_pass(eps):
+    xb = xyz_b.at[0, 0].add(eps) if eps else xyz_b   # base copy: 275 MB
+    state = init_state(cfg)
+    fused = []
+    t0 = time.time()
+    for c0 in range(0, n, chunk):
+        x, v, tt = chunk_inputs(xb, vb=valid_b, c0=jnp.int32(c0))
+        state, outs = replay_from(state, x, v, tt, cfg)
+        fused.append(outs["fused"])
+    fused = np.concatenate([np.asarray(f) for f in fused])  # syncs
+    return time.time() - t0, state, fused
+
+
 t0 = time.time()
-final, outs = replay(xyz, valid, t, cfg)
-jax.block_until_ready(outs)
-print(f"compile+run: {time.time()-t0:.0f}s")
-xyz_p = xyz.at[0, 0].add(1e-6)
-np.asarray(xyz_p[0, :2])
-t0 = time.time()
-final, outs = replay(xyz_p, valid, t, cfg)
-np.asarray(outs["fused"][-1])   # device->host sync (block_until_ready
-dt = time.time()-t0             # returns at enqueue on axon)
+dt, final, fused = run_pass(0.0)
+print(f"compile+run: {time.time()-t0:.0f}s ({n} scans, chunk={chunk})")
+del final, fused
+dt, final, fused = run_pass(1e-6)
 print(f"steady: {n/dt:.1f} scans/s")
+outs = {"fused": fused}
 
 kf = int(final.mapping.store.count)
 fc = int(final.mapping.factor_count)

@@ -47,30 +47,67 @@ def main(trace_dir, out_path=None):
 
     # identify device tracks: process names containing TPU / device
     proc_name = {}
+    thread_name = {}
     for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
+        if e.get("ph") != "M":
+            continue
+        if e.get("name") == "process_name":
             proc_name[e["pid"]] = e.get("args", {}).get("name", "")
+        elif e.get("name") == "thread_name":
+            thread_name[(e.get("pid"), e.get("tid"))] = \
+                e.get("args", {}).get("name", "")
     device_pids = {pid for pid, n in proc_name.items()
                    if any(k in n for k in ("TPU", "/device", "Device",
                                            "XLA Ops"))}
+    # the "XLA Modules" track carries one whole-executable span that
+    # duplicates every op on the "XLA Ops" track — drop it
+    skip_tids = {k for k, n in thread_name.items()
+                 if "module" in n.lower() or "step" in n.lower()}
 
-    by_group = defaultdict(float)
-    by_exact = defaultdict(float)
-    t0, t1 = float("inf"), 0.0
-    total = 0.0
+    # SELF time per event: trace spans NEST on each thread track (the
+    # root jit span contains while/cond regions which contain the real
+    # ops), so summing raw durations multi-counts every parent region.
+    # Sort each track by (ts, -dur) and run a stack: an event's self
+    # time is its duration minus its direct children's durations.
+    by_track = defaultdict(list)
     for e in events:
         if e.get("ph") != "X":
             continue
         if device_pids and e.get("pid") not in device_pids:
             continue
-        dur = float(e.get("dur", 0.0))
-        name = e.get("name", "?")
-        by_group[group_name(name)] += dur
-        by_exact[name] += dur
-        total += dur
-        ts = float(e.get("ts", 0.0))
-        t0 = min(t0, ts)
-        t1 = max(t1, ts + dur)
+        if (e.get("pid"), e.get("tid")) in skip_tids:
+            continue
+        by_track[(e.get("pid"), e.get("tid"))].append(e)
+
+    by_group = defaultdict(float)
+    by_exact = defaultdict(float)
+    t0, t1 = float("inf"), 0.0
+    total = 0.0
+    for track in by_track.values():
+        track.sort(key=lambda e: (float(e.get("ts", 0.0)),
+                                  -float(e.get("dur", 0.0))))
+        stack = []      # [(end_ts, name, self_dur_accum_index)]
+        selfs = []      # mutable self-time per open event
+        for e in track:
+            ts = float(e.get("ts", 0.0))
+            dur = float(e.get("dur", 0.0))
+            name = e.get("name", "?")
+            t0 = min(t0, ts)
+            t1 = max(t1, ts + dur)
+            while stack and ts >= stack[-1][0] - 1e-9:
+                end, nm, si = stack.pop()
+                by_group[group_name(nm)] += selfs[si]
+                by_exact[nm] += selfs[si]
+                total += selfs[si]
+            if stack:
+                selfs[stack[-1][2]] -= dur    # child time is not self
+            stack.append((ts + dur, name, len(selfs)))
+            selfs.append(dur)
+        while stack:
+            end, nm, si = stack.pop()
+            by_group[group_name(nm)] += selfs[si]
+            by_exact[nm] += selfs[si]
+            total += selfs[si]
 
     span = max(t1 - t0, 1e-9)
     rows = sorted(by_group.items(), key=lambda kv: -kv[1])

@@ -124,16 +124,37 @@ def replay_impl(xyz: Array, valid: Array, times: Array,
 
     Returns (final_state, outputs dict of (N, 6) pose arrays).
     """
+    return replay_from_impl(init_state(cfg), xyz, valid, times, cfg,
+                            mesh=mesh, pgo_axis=pgo_axis)
+
+
+def replay_from_impl(state: SlamState, xyz: Array, valid: Array,
+                     times: Array, cfg: LegoLoamConfig, mesh=None,
+                     pgo_axis: str = "pgo"):
+    """Resume replay from an existing :class:`SlamState` (unjitted impl).
+
+    The chunked long-sequence driver: a 20 K-scan input is ~8 GB of
+    points — more than fits on-device next to the SLAM state — but the
+    per-scan step only ever reads one scan, so the host feeds
+    fixed-shape CHUNKS and carries the state across calls.  Bit-exact
+    vs one whole-sequence ``replay`` by construction (same ``lax.scan``
+    step; split-equality tested in ``tests/test_io.py`` and
+    ``benchmarks/multi_session.py``).  Also the checkpoint/resume entry
+    point (``io/checkpoint.py``): the reference can only resume by
+    re-playing the whole bag through its ROS graph.
+    """
     def step(state, inp):
         x, v, t = inp
         raw = RawScan(xyz=x.reshape(-1, 3), valid=v, stamp=t)
         return slam_step_impl(state, raw, cfg, mesh=mesh,
                               pgo_axis=pgo_axis)
 
-    return jax.lax.scan(step, init_state(cfg), (xyz, valid, times))
+    return jax.lax.scan(step, state, (xyz, valid, times))
 
 
 replay = jax.jit(replay_impl, static_argnames=("cfg", "mesh", "pgo_axis"))
+replay_from = jax.jit(replay_from_impl,
+                      static_argnames=("cfg", "mesh", "pgo_axis"))
 
 
 @functools.partial(jax.jit, static_argnames="cfg")
