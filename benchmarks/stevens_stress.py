@@ -88,8 +88,12 @@ def run_pass(eps):
     for c0 in range(0, n, chunk):
         x, v, tt = chunk_inputs(xb, vb=valid_b, c0=jnp.int32(c0))
         state, outs = replay_from(state, x, v, tt, cfg)
-        fused.append(outs["fused"])
-    fused = np.concatenate([np.asarray(f) for f in fused])  # syncs
+        # sync EVERY chunk: the axon tunnel returns at enqueue, so an
+        # unsynced loop queues all n/chunk chunks at once and their
+        # ~0.8 GB inputs coexist on device — measured worker crash
+        # (OOM) at 10 chunks; with the sync at most two are alive
+        fused.append(np.asarray(outs["fused"]))
+    fused = np.concatenate(fused)
     return time.time() - t0, state, fused
 
 

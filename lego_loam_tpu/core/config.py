@@ -237,7 +237,9 @@ class Grid2DConfig:
 class PipelineConfig:
     """Orchestration + capacities shared across stages."""
 
-    max_points: int = 32768          # raw cloud capacity (16*1800 = 28800)
+    max_points: int = 28800          # raw cloud capacity (= 16*1800; the
+    # projection scatter-min pays ~10 ns per INDEX including padding, so
+    # capacity beyond the sensor's true point budget is pure scatter tax)
     max_segmented: int = 16384       # compacted segmented cloud capacity
     max_outlier: int = 4096
     odometry_only: bool = False

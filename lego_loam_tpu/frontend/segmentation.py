@@ -150,16 +150,17 @@ def segment_validity(labels: Array, segmentable: Array,
     seg_id = jnp.where(segmentable, labels, n).reshape(-1)
     ones = segmentable.astype(jnp.int32).reshape(-1)
 
-    # ONE scatter-add accumulates [count | per-row histogram] together —
-    # TPU scatters serialize per index, so width is nearly free but each
-    # separate scatter op costs ~0.25 ms at this size.
+    # ONE scatter-add into a flat (segment, ring) table: TPU scatters
+    # serialize per INDEX (~10 ns each; ~0.25 ms at VH = 28.8 K), so the
+    # index count is the whole cost — but building the r2-era 17-channel
+    # one-hot payload cost a further ~2 MB materialize+copy per scan for
+    # nothing the (n+1, V) table doesn't give.  Row sums/occupancy of
+    # the table are cheap elementwise reductions.
     rows = jax.lax.broadcasted_iota(jnp.int32, (V, H), 0).reshape(-1)
-    row_onehot = jax.nn.one_hot(rows, V, dtype=jnp.int32)
-    payload = jnp.concatenate([ones[:, None], row_onehot * ones[:, None]],
-                              axis=1)                       # (VH, V+1)
-    acc = jax.ops.segment_sum(payload, seg_id, num_segments=n + 1)
-    sizes = acc[:, 0]
-    lines = jnp.sum(acc[:, 1:] > 0, axis=-1)
+    acc = jnp.zeros(((n + 1) * V,), jnp.int32).at[seg_id * V + rows].add(
+        ones, mode="drop").reshape(n + 1, V)
+    sizes = jnp.sum(acc, axis=-1)
+    lines = jnp.sum(acc > 0, axis=-1)
 
     p = cfg.projection
     ok = (sizes >= p.segment_min_point_num) | (
