@@ -1,8 +1,23 @@
 """Loop-closure end-to-end drive (run on TPU)
 
-Usage: PYTHONPATH=. python benchmarks/loop_closure_drive.py  (TPU; one process at a time)
+The one judged benchmark where a loop closure actually FIRES on device:
+the 200-scan bench arc never revisits, so the detect+ICP+pose-graph+
+grid-rebuild cost (``mapOptmization.cpp:767-854, 1481-1511``) is
+invisible to ``bench.py``.  This drives a full 360-scan lap (lap time
+31.4 s > the 30 s loop gate), reports steady-state scans/s with the
+closure inside the measurement, and the trajectory error before vs
+after the revisit.
+
+Usage: PYTHONPATH=. python benchmarks/loop_closure_drive.py
+       (TPU; one process at a time)
+Set OUT=LOOPFIRE_rNN.json to write the judged artifact.
 """
+import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax, jax.numpy as jnp
 print("backend:", jax.default_backend())
@@ -16,7 +31,7 @@ from lego_loam_tpu.eval.metrics import ate
 
 cfg = vlp16()
 # one full lap = 2*pi*6.5/1.3 = 31.4 s > 30 s loop time gap
-n = 360
+n = int(os.environ.get("N", "360"))
 scans, gt, times = make_sequence(n, cfg, seed=21, noise=0.01,
                                  radius=6.5, speed=1.3)
 xyz, valid, t = pack_sequence(scans, times, cfg)
@@ -32,7 +47,8 @@ print(f"steady: {n/dt:.1f} scans/s")
 
 kf = int(final.mapping.store.count)
 fc = int(final.mapping.factor_count)
-print(f"keyframes: {kf}  factors: {fc}  loop factors: {fc - (kf - 1)}")
+loop_factors = fc - (kf - 1)
+print(f"keyframes: {kf}  factors: {fc}  loop factors: {loop_factors}")
 fused = np.asarray(outs["fused"])
 gt_j = jnp.asarray(gt)
 gt_rel = np.asarray(jax.vmap(lambda g: se3.relative(gt_j[0], g))(gt_j))
@@ -40,4 +56,25 @@ m = ate(fused[:-1], gt_rel[1:len(fused)], align=False)
 print("full-run ATE:", {k: round(v, 3) for k, v in m.items()})
 # error at the end (post-revisit) vs mid-run
 err = np.linalg.norm(fused[:-1, 3:] - gt_rel[1:len(fused), 3:], axis=1)
-print(f"err@150: {err[150]:.3f}  err@300: {err[300]:.3f}  err@end: {err[-1]:.3f}")
+print(f"err@150: {err[150]:.3f}  err@300: {err[300]:.3f}  "
+      f"err@end: {err[-1]:.3f}")
+
+out_path = os.environ.get("OUT")
+if out_path:
+    with open(out_path, "w") as f:
+        json.dump({
+            "benchmark": "loop_closure_drive",
+            "backend": jax.default_backend(),
+            "n_scans": n,
+            "scans_per_sec": round(n / dt, 1),
+            "keyframes": kf, "factors": fc,
+            "loop_factors": loop_factors,
+            "ate": {k: round(v, 4) for k, v in m.items()},
+            "err_pre_revisit_m": round(float(err[150]), 4),
+            "err_post_revisit_m": round(float(err[-1]), 4),
+            "note": "steady scans/s includes the in-graph loop "
+                    "detect+ICP+PGO+grid-rebuild cost; err_pre/post "
+                    "show the closure pulling the lap back onto the "
+                    "ground truth",
+        }, f, indent=1)
+    print(f"wrote {out_path}")

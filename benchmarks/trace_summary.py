@@ -35,11 +35,27 @@ def load_events(trace_dir):
 
 _STRIP = re.compile(r"[.\d]+$")
 
+# jax.named_scope stage labels planted in pipeline/{slam,odometry,mapping}
+# (deepest scope on the op path wins)
+_STAGES = ("projection", "features", "odom_gn", "map_downsample",
+           "submap", "scan2map", "kf_insert", "loop_closure",
+           "odometry", "mapping")
+
 
 def group_name(name):
     """fusion.123 -> fusion; dynamic-update-slice.7 -> dynamic-update-slice."""
     base = name.split("/")[-1]
     return _STRIP.sub("", base) or base
+
+
+def stage_name(name):
+    """Deepest pipeline named_scope on the op's metadata path."""
+    segs = name.split("/")
+    for seg in reversed(segs[:-1]):
+        base = _STRIP.sub("", seg) or seg
+        if base in _STAGES:
+            return base
+    return "unscoped"
 
 
 def main(trace_dir, out_path=None):
@@ -81,6 +97,8 @@ def main(trace_dir, out_path=None):
 
     by_group = defaultdict(float)
     by_exact = defaultdict(float)
+    by_stage = defaultdict(float)
+    by_stage_op = defaultdict(float)
     t0, t1 = float("inf"), 0.0
     total = 0.0
     for track in by_track.values():
@@ -98,15 +116,23 @@ def main(trace_dir, out_path=None):
                 end, nm, si = stack.pop()
                 by_group[group_name(nm)] += selfs[si]
                 by_exact[nm] += selfs[si]
+                by_stage[stage_name(nm)] += selfs[si]
+                by_stage_op[(stage_name(nm), group_name(nm))] += selfs[si]
                 total += selfs[si]
             if stack:
-                selfs[stack[-1][2]] -= dur    # child time is not self
+                # child time is not self; clamp to the actual overlap so
+                # a partially-overlapping (non-nested) span can't drive
+                # the parent's self time negative
+                overlap = min(dur, max(stack[-1][0] - ts, 0.0))
+                selfs[stack[-1][2]] -= overlap
             stack.append((ts + dur, name, len(selfs)))
             selfs.append(dur)
         while stack:
             end, nm, si = stack.pop()
             by_group[group_name(nm)] += selfs[si]
             by_exact[nm] += selfs[si]
+            by_stage[stage_name(nm)] += selfs[si]
+            by_stage_op[(stage_name(nm), group_name(nm))] += selfs[si]
             total += selfs[si]
 
     span = max(t1 - t0, 1e-9)
@@ -118,6 +144,16 @@ def main(trace_dir, out_path=None):
     print(f"{'op group':34s} {'ms':>9s} {'% busy':>7s}")
     for name, dur in rows[:30]:
         print(f"{name[:34]:34s} {dur / 1e3:9.2f} {100 * dur / total:6.1f}%")
+
+    stage_rows = sorted(by_stage.items(), key=lambda kv: -kv[1])
+    print(f"\n{'pipeline stage':20s} {'ms':>9s} {'% busy':>7s}   top ops")
+    for name, dur in stage_rows:
+        tops = sorted(((op, d) for (st, op), d in by_stage_op.items()
+                       if st == name), key=lambda kv: -kv[1])[:3]
+        tops_s = ", ".join(f"{op} {100 * d / total:.0f}%"
+                           for op, d in tops)
+        print(f"{name:20s} {dur / 1e3:9.2f} {100 * dur / total:6.1f}%"
+              f"   {tops_s}")
 
     if out_path:
         with open(out_path, "w") as f:
@@ -136,6 +172,16 @@ def main(trace_dir, out_path=None):
                     {"op": n, "ms": round(d / 1e3, 3)}
                     for n, d in sorted(by_exact.items(),
                                        key=lambda kv: -kv[1])[:20]],
+                "by_stage": [
+                    {"stage": n, "ms": round(d / 1e3, 3),
+                     "pct_busy": round(100 * d / total, 2),
+                     "top_ops": [
+                         {"op": op, "ms": round(dd / 1e3, 3)}
+                         for op, dd in sorted(
+                             ((op, dd) for (st, op), dd
+                              in by_stage_op.items() if st == n),
+                             key=lambda kv: -kv[1])[:5]]}
+                    for n, d in stage_rows],
             }, f, indent=1)
         print(f"wrote {out_path}")
 

@@ -5,8 +5,10 @@ iSAM2 graph is a single-threaded native library; here the factor set
 shards over an ICI mesh axis and each Gauss-Newton/PCG iteration needs
 exactly ONE ``psum`` per Hessian-vector product and one for the gradient —
 poses stay replicated (6·K floats is tiny next to the factor blocks).
-This is the Schur-free formulation: block-Jacobi PCG over the full normal
-equations, with the reduction riding the interconnect.
+This is the Schur-free formulation: chain-preconditioned PCG over the
+full normal equations (cyclic-reduction preconditioner replicated per
+shard — ``graph.posegraph.chain_preconditioner``), with the reduction
+riding the interconnect.
 
 Built on `shard_map`; reuses the single-device kernels from
 ``graph.posegraph``.
@@ -22,7 +24,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..core import se3
-from ..graph.posegraph import FactorGraph, _factor_blocks
+from ..graph.posegraph import (FactorGraph, _chain_subdiag,
+                               _factor_blocks, chain_preconditioner)
 
 Array = jax.Array
 
@@ -43,9 +46,12 @@ def _pad_factors(g: FactorGraph, n_shards: int) -> FactorGraph:
 def optimize_poses_sharded(poses: Array, node_count: Array,
                            g: FactorGraph, mesh: Mesh,
                            axis: str = "pgo", gn_iters: int = 8,
-                           pcg_iters: int = 64) -> Array:
+                           pcg_iters: int = 64,
+                           return_iters: bool = False) -> Array:
     """Same result as ``posegraph.optimize_poses``, with the factor axis
-    sharded over ``mesh[axis]`` and one psum per matvec."""
+    sharded over ``mesh[axis]`` and one psum per matvec.  With
+    ``return_iters`` also returns the (gn_iters,) PCG iteration counts
+    (replicated — every shard runs the same loop on psum'd scalars)."""
     K = poses.shape[0]
     n_shards = mesh.shape[axis]
     g = _pad_factors(g, n_shards)
@@ -60,6 +66,14 @@ def optimize_poses_sharded(poses: Array, node_count: Array,
         out_specs=P(),
         check_vma=False)
     def run(poses, node_count, g_local):
+        # HIGHEST matmul precision for the whole solve, same as
+        # posegraph.optimize_poses: default TPU matmuls truncate inputs
+        # to bf16, which NaNs the cyclic-reduction Schur complements and
+        # floors the PCG residual above the relative exit tolerance.
+        with jax.default_matmul_precision("highest"):
+            return _run_body(poses, node_count, g_local)
+
+    def _run_body(poses, node_count, g_local):
         alive = (jnp.arange(K) < node_count)[:, None]
         prior_w2 = g_local.prior_weight ** 2
 
@@ -83,7 +97,14 @@ def optimize_poses_sharded(poses: Array, node_count: Array,
             D = D.at[g_local.j].add(Dj)
             D = jax.lax.psum(D, axis)
             D = D.at[0].add(jnp.diag(prior_w2)) + 1e-6 * jnp.eye(6)
-            D_inv = jnp.linalg.inv(D)
+            # chain sub-diagonal: local scatter over this shard's
+            # factors, one psum — then the cyclic-reduction
+            # preconditioner factors/solves REPLICATED on every shard
+            # (poses are replicated; zero extra collectives per M⁻¹)
+            subdiag = jax.lax.psum(
+                _chain_subdiag(g_local, Ai, Aj, K), axis)
+            M_inv = chain_preconditioner(g_local, Ai, Aj, D, node_count,
+                                         K, subdiag=subdiag)
 
             def matvec(x):
                 xi = x[g_local.i]
@@ -99,15 +120,22 @@ def optimize_poses_sharded(poses: Array, node_count: Array,
                 y = y.at[0].add(prior_w2 * x[0])
                 return (y + 1e-8 * x) * alive
 
-            def M_inv(rv):
-                return jnp.einsum("kab,kb->ka", D_inv, rv) * alive
-
             b = -grad * alive
             x = jnp.zeros_like(b)
             res = b
             z = M_inv(res)
             p = z
             rz = jnp.sum(res * z)
+            # RELATIVE exit, same rule as posegraph._pcg: the stiff
+            # odometry weights (config.py odom_factor_weight 2e2/30) put
+            # ‖b‖² at ~1e6+, so an absolute tolerance never fires and
+            # every closure would burn pcg_iters psum-matvecs per GN
+            # step through the live mesh path (mapping.py) — and the
+            # sharded and single-device solves would converge
+            # differently.  Equality + early-exit tested on a stiff
+            # 400-node chain in tests/test_distributed.py.
+            rtol = 1e-6
+            rr0 = jnp.sum(b * b)
 
             def pcg_body(state):
                 x, res, p, rz, it = state
@@ -122,15 +150,18 @@ def optimize_poses_sharded(poses: Array, node_count: Array,
 
             def pcg_cond(state):
                 _, res, _, _, it = state
-                return (it < pcg_iters) & (jnp.sum(res * res) > 1e-8)
+                return (it < pcg_iters) & \
+                    (jnp.sum(res * res) > rtol * rtol * rr0)
 
-            delta, *_ = jax.lax.while_loop(
+            delta, _, _, _, it = jax.lax.while_loop(
                 pcg_cond, pcg_body, (x, res, p, rz, jnp.int32(0)))
             upd = poses + delta * alive
             poses = jnp.where(alive, se3.normalize_angles(upd), upd)
-            return poses, None
+            return poses, it
 
-        poses, _ = jax.lax.scan(gn_step, poses, None, length=gn_iters)
-        return poses
+        poses, iters = jax.lax.scan(gn_step, poses, None,
+                                    length=gn_iters)
+        return poses, iters
 
-    return run(poses, node_count, g)
+    poses, iters = run(poses, node_count, g)
+    return (poses, iters) if return_iters else poses

@@ -8,6 +8,7 @@ and are packed into fixed-capacity ``RawScan`` pytrees for the device.
 from __future__ import annotations
 
 import os
+import warnings
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -18,11 +19,26 @@ from ..core.config import LegoLoamConfig
 from ..core.types import RawScan
 
 
+def _warn_truncated(n_pts: int, capacity: int, where: str):
+    """Capacity overflow is a silent point drop — make it loud.
+
+    ``PipelineConfig.max_points`` is sized to the nominal grid (16×1800
+    for VLP-16) with zero headroom; real clouds can slightly exceed it
+    (dual-return modes, azimuth jitter), and the excess rows would
+    otherwise vanish without signal."""
+    warnings.warn(
+        f"{where}: scan has {n_pts} points > capacity {capacity}; "
+        f"{n_pts - capacity} dropped (raise PipelineConfig.max_points)",
+        RuntimeWarning, stacklevel=3)
+
+
 def pack_raw_scan(points: np.ndarray, stamp: float,
                   capacity: int) -> RawScan:
     """(P,3) float array (NaN/inf rows = invalid) → fixed-capacity RawScan."""
     pts = np.asarray(points, np.float32)
     finite = np.isfinite(pts).all(axis=-1)
+    if pts.shape[0] > capacity:
+        _warn_truncated(pts.shape[0], capacity, "pack_raw_scan")
     n = min(pts.shape[0], capacity)
     xyz = np.zeros((capacity, 3), np.float32)
     valid = np.zeros((capacity,), bool)
@@ -46,6 +62,11 @@ def pack_sequence(scans: Sequence[np.ndarray], times: Sequence[float],
     cap = cfg.pipeline.max_points
     xyz = np.zeros((len(scans), cap, 3), np.float32)
     valid = np.zeros((len(scans), cap), bool)
+    n_over = sum(1 for s in scans if np.asarray(s).shape[0] > cap)
+    if n_over:
+        worst = max(np.asarray(s).shape[0] for s in scans)
+        _warn_truncated(worst, cap,
+                        f"pack_sequence ({n_over}/{len(scans)} scans)")
     for i, pts in enumerate(scans):
         pts = np.asarray(pts, np.float32)
         finite = np.isfinite(pts).all(axis=-1)

@@ -147,6 +147,20 @@ def detect_and_verify(store: KeyframeStore, row, cur_stamp: Array,
             max_iters=m.icp_max_iters,
             max_corr_dist=m.icp_max_corr_dist, eps=m.icp_eps,
             knn_impl=m.knn_impl)
+        # DELIBERATE DEVIATION from the reference gate, which accepts on
+        # ``converged ∧ fitness < 0.3`` alone (mapOptmization.cpp:798-800).
+        # PCL's getFitnessScore() is the mean squared distance over inlier
+        # correspondences only, so a diverged alignment that overlaps the
+        # target at a handful of points reports a deceptively LOW score
+        # over those few inliers; PCL partially compensates with its
+        # hasConverged() flag, which our fixed-iteration Horn ICP does not
+        # have.  The n_corr floor stands in for that convergence check:
+        # a genuine revisit at 7 m radius overlaps the ±25-keyframe
+        # history submap at thousands of points, so requiring >100
+        # correspondences only rejects near-disjoint alignments whose
+        # fitness is meaningless.  tests/test_loop.py::
+        # test_low_overlap_deceptive_fitness_rejected shows the concrete
+        # false-accept this guards against.
         ok = (fitness < m.history_keyframe_fitness_score) & (n_corr > 100)
         corrected = se3.compose(corr, cur_pose)
         z = se3.relative(corrected, store.pose[old_idx])

@@ -157,46 +157,51 @@ def mapping_step(meta: MappingMeta, clouds: KeyframeClouds,
     # measured 0.94 → 1.62 m ATE on the 2000-scan Stevens stress.  Runs
     # only every mapping cycle (1/5 scans), unlike the per-scan feature
     # filter where the one-scatter hash variant is safe (load ≈ 0.4).
-    corner_ds, corner_ok = voxel_downsample(
-        assoc.corner_xyz, assoc.corner_valid, m.corner_leaf_size,
-        CORNER_CAP)
-    surf_ds, surf_ok = voxel_downsample(
-        assoc.surf_xyz, assoc.surf_valid, m.surf_leaf_size, SURF_CAP)
-    outlier_ds, outlier_ok = voxel_downsample(
-        assoc.outlier_xyz, assoc.outlier_valid, m.outlier_leaf_size,
-        OUTLIER_CAP)
-    # surf-total = surf + outlier re-filtered at 0.4 (:1014-1024)
-    surf_total, surf_total_ok = voxel_downsample(
-        jnp.concatenate([surf_ds, outlier_ds], axis=0),
-        jnp.concatenate([surf_ok, outlier_ok], axis=0),
-        m.surf_leaf_size, SURF_CAP)
-    scan2d_ds, scan2d_ok = voxel_downsample(
-        assoc.scan2d_xyz, assoc.scan2d_valid, 0.1, SCAN2D_CAP)
+    with jax.named_scope("map_downsample"):
+        corner_ds, corner_ok = voxel_downsample(
+            assoc.corner_xyz, assoc.corner_valid, m.corner_leaf_size,
+            CORNER_CAP)
+        surf_ds, surf_ok = voxel_downsample(
+            assoc.surf_xyz, assoc.surf_valid, m.surf_leaf_size, SURF_CAP)
+        outlier_ds, outlier_ok = voxel_downsample(
+            assoc.outlier_xyz, assoc.outlier_valid, m.outlier_leaf_size,
+            OUTLIER_CAP)
+        # surf-total = surf + outlier re-filtered at 0.4 (:1014-1024)
+        surf_total, surf_total_ok = voxel_downsample(
+            jnp.concatenate([surf_ds, outlier_ds], axis=0),
+            jnp.concatenate([surf_ok, outlier_ok], axis=0),
+            m.surf_leaf_size, SURF_CAP)
+        scan2d_ds, scan2d_ok = voxel_downsample(
+            assoc.scan2d_xyz, assoc.scan2d_valid, 0.1, SCAN2D_CAP)
 
     # extractSurroundingKeyFrames (:857-996) has two modes:
     map_sat = meta.map_sat
-    if m.enable_loop_closure:
-        # loop-ON: latest-N window (:863-913) — read the persistent
-        # incremental voxel grid instead of re-assembling 50 keyframes
-        # (graph/submap_grid.py; ~7.7 ms/cycle → ~0 on TPU)
-        corner_map, surf_map = submap_grid.maps(
-            meta.grid, meta.kf_count, m.surrounding_keyframe_search_num)
-    else:
-        # loop-OFF (the reference's default config): 50 m keypose RADIUS
-        # search (:917-986) — a revisit must re-associate against the OLD
-        # map, which the latest-N window cannot provide.  Assembled from
-        # the keyframe store each cycle (the window grid would mix stale
-        # world-frame epochs on long runs).
-        store0 = KeyframeStore(pose=meta.kf_pose, stamp=meta.kf_stamp,
-                               count=meta.kf_count, clouds=clouds)
-        corner_map, surf_map, submap_sat = assemble_submap(
-            store0, pred, cfg, window=m.surrounding_keyframe_search_num,
-            with_sat=True)
-        map_sat = map_sat + submap_sat
+    with jax.named_scope("submap"):
+        if m.enable_loop_closure:
+            # loop-ON: latest-N window (:863-913) — read the persistent
+            # incremental voxel grid instead of re-assembling 50 keyframes
+            # (graph/submap_grid.py; ~7.7 ms/cycle → ~0 on TPU)
+            corner_map, surf_map = submap_grid.maps(
+                meta.grid, meta.kf_count,
+                m.surrounding_keyframe_search_num)
+        else:
+            # loop-OFF (the reference's default config): 50 m keypose
+            # RADIUS search (:917-986) — a revisit must re-associate
+            # against the OLD map, which the latest-N window cannot
+            # provide.  Assembled from the keyframe store each cycle (the
+            # window grid would mix stale world-frame epochs on long
+            # runs).
+            store0 = KeyframeStore(pose=meta.kf_pose, stamp=meta.kf_stamp,
+                                   count=meta.kf_count, clouds=clouds)
+            corner_map, surf_map, submap_sat = assemble_submap(
+                store0, pred, cfg,
+                window=m.surrounding_keyframe_search_num, with_sat=True)
+            map_sat = map_sat + submap_sat
 
-    pose = scan_to_map(pred, corner_ds, corner_ok, surf_total,
-                       surf_total_ok, corner_map, surf_map, cfg)
-    pose = se3.normalize_angles(pose)
+    with jax.named_scope("scan2map"):
+        pose = scan_to_map(pred, corner_ds, corner_ok, surf_total,
+                           surf_total_ok, corner_map, surf_map, cfg)
+        pose = se3.normalize_angles(pose)
 
     # saveKeyFramesAndFactor (:1335-1478): keyframe iff moved ≥ 0.3 m
     K = clouds.capacity
@@ -207,23 +212,24 @@ def mapping_step(meta: MappingMeta, clouds: KeyframeClouds,
     insert = is_kf & (meta.kf_count < K)
     kf_dropped = meta.kf_dropped + (is_kf & ~insert).astype(jnp.int32)
 
-    idx = jnp.where(insert, meta.kf_count, K)        # K ⇒ scatter dropped
-    row = make_row(idx, corner_ds, corner_ok, surf_ds, surf_ok,
-                   outlier_ds, outlier_ok, scan2d_ds, scan2d_ok)
-    kf_pose = meta.kf_pose.at[idx].set(pose, mode="drop")
-    kf_stamp = meta.kf_stamp.at[idx].set(assoc.stamp, mode="drop")
-    kf_count = meta.kf_count + insert.astype(jnp.int32)
+    with jax.named_scope("kf_insert"):
+        idx = jnp.where(insert, meta.kf_count, K)    # K ⇒ scatter dropped
+        row = make_row(idx, corner_ds, corner_ok, surf_ds, surf_ok,
+                       outlier_ds, outlier_ok, scan2d_ds, scan2d_ok)
+        kf_pose = meta.kf_pose.at[idx].set(pose, mode="drop")
+        kf_stamp = meta.kf_stamp.at[idx].set(assoc.stamp, mode="drop")
+        kf_count = meta.kf_count + insert.astype(jnp.int32)
 
-    if m.enable_loop_closure:
-        grid = jax.lax.cond(
-            insert,
-            lambda g: submap_grid.insert(
-                g, meta.kf_count, pose, corner_ds, corner_ok,
-                surf_ds, surf_ok, outlier_ds, outlier_ok, cfg,
-                window=m.surrounding_keyframe_search_num),
-            lambda g: g, meta.grid)
-    else:
-        grid = meta.grid      # unused in radius mode — skip the scatter
+        if m.enable_loop_closure:
+            grid = jax.lax.cond(
+                insert,
+                lambda g: submap_grid.insert(
+                    g, meta.kf_count, pose, corner_ds, corner_ok,
+                    surf_ds, surf_ok, outlier_ds, outlier_ok, cfg,
+                    window=m.surrounding_keyframe_search_num),
+                lambda g: g, meta.grid)
+        else:
+            grid = meta.grid  # unused in radius mode — skip the scatter
 
     odom_w = jnp.asarray(m.odom_factor_weight, jnp.float32)
     cap_f = meta.graph.i.shape[0]
@@ -267,10 +273,11 @@ def mapping_step(meta: MappingMeta, clouds: KeyframeClouds,
                 graph, fcount, res["latest_idx"], res["old_idx"],
                 res["z"], w)
             # correctPoses (:1481-1511): full re-solve + pose rewrite.
-            # The stiff odometry chain vs soft loop factors puts the
-            # normal equations' condition ratio near 1e6 — block-Jacobi
-            # PCG needs hundreds of iterations to actually transmit a
-            # loop correction through a 400-node chain.
+            # The cyclic-reduction chain preconditioner (posegraph.py)
+            # solves the stiff odometry chain EXACTLY, leaving PCG only
+            # the low-rank loop-factor perturbation — a handful of
+            # iterations regardless of chain length (block-Jacobi needed
+            # 384+ on a 420-node chain and still hadn't converged).
             # Warm-started from the current poses the solve is
             # incremental (iSAM2's role): 2-3 GN steps suffice, and the
             # PCG's relative-tolerance exit keeps re-solves cheap.
@@ -278,10 +285,10 @@ def mapping_step(meta: MappingMeta, clouds: KeyframeClouds,
             if mesh is not None:
                 new_poses = optimize_poses_sharded(
                     kf_pose_a, kf_count, graph, mesh, axis=pgo_axis,
-                    gn_iters=3, pcg_iters=384)
+                    gn_iters=3, pcg_iters=64)
             else:
                 new_poses = optimize_poses(kf_pose_a, kf_count, graph,
-                                           gn_iters=3, pcg_iters=384)
+                                           gn_iters=3, pcg_iters=64)
             # carry the correction onto the CURRENT pose (which may be up
             # to keyframe_distance ahead of the last keyframe)
             corr = se3.compose(new_poses[res["latest_idx"]],
@@ -301,10 +308,11 @@ def mapping_step(meta: MappingMeta, clouds: KeyframeClouds,
             kf_pose_a, grid, graph, fcount, fdrop, aft)
         return p, gr, g, f, d, msat, a
 
-    kf_pose, grid, graph, fcount, fdrop, map_sat, pose = jax.lax.cond(
-        run_loop, with_loop,
-        lambda p, gr, g, f, d, s, a: (p, gr, g, f, d, s, a),
-        kf_pose, grid, graph, fcount, fdrop, map_sat, pose)
+    with jax.named_scope("loop_closure"):
+        kf_pose, grid, graph, fcount, fdrop, map_sat, pose = jax.lax.cond(
+            run_loop, with_loop,
+            lambda p, gr, g, f, d, s, a: (p, gr, g, f, d, s, a),
+            kf_pose, grid, graph, fcount, fdrop, map_sat, pose)
 
     new_meta = MappingMeta(
         kf_pose=kf_pose, kf_stamp=kf_stamp, kf_count=kf_count, grid=grid,

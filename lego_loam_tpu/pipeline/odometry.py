@@ -58,7 +58,8 @@ def odometry_step(state: OdometryState, proj: ProjectionOut,
     integrated odometry pose and the end-frame feature clouds that feed
     mapping every ``mapping_frequency_divider`` scans (:1432-1448).
     """
-    feats: FeatureSet = extract_features(proj.segmented, cfg)
+    with jax.named_scope("features"):
+        feats: FeatureSet = extract_features(proj.segmented, cfg)
 
     def first_frame(state):
         # checkSystemInitialization (:1181-1209)
@@ -86,8 +87,9 @@ def odometry_step(state: OdometryState, proj: ProjectionOut,
             last_corner=_to_end(theta, feats.less_sharp),
             last_surf=_to_end(theta, feats.less_flat))
 
-    new_state = jax.lax.cond(state.initialized, normal_frame, first_frame,
-                             state)
+    with jax.named_scope("odom_gn"):
+        new_state = jax.lax.cond(state.initialized, normal_frame,
+                                 first_frame, state)
 
     out = AssociationOut(
         corner_xyz=new_state.last_corner.xyz,

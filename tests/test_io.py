@@ -123,3 +123,32 @@ def test_hdl64_config_projection():
     img = project_scan(raw, cfg)
     assert img.rng.shape == (64, 2083)
     assert int(np.asarray(img.valid).sum()) > 20000
+
+
+def test_chunked_replay_from_matches_whole():
+    """ADVICE r3: the chunked long-sequence driver (replay → two
+    replay_from calls with the state carried across) must be bit-equal
+    to one whole-sequence replay — this is what lets the 20 K-scan
+    Stevens feed fixed-shape chunks (benchmarks/stevens_stress.py)."""
+    from tests.test_distributed import _tiny_cfg
+    from lego_loam_tpu.io.synthetic import make_sequence
+    from lego_loam_tpu.pipeline.slam import init_state, replay, replay_from
+
+    cfg = _tiny_cfg()
+    n = 6
+    scans, gt, times = make_sequence(n, cfg, seed=9, noise=0.01)
+    xyz, valid, t = pack_sequence(scans, times, cfg)
+
+    whole_state, whole_out = replay(xyz, valid, t, cfg)
+
+    state = init_state(cfg)
+    fused = []
+    for c0 in (0, 3):
+        state, outs = replay_from(state, xyz[c0:c0 + 3], valid[c0:c0 + 3],
+                                  t[c0:c0 + 3], cfg)
+        fused.append(np.asarray(outs["fused"]))
+    np.testing.assert_array_equal(np.concatenate(fused),
+                                  np.asarray(whole_out["fused"]))
+    for a, b in zip(jax.tree_util.tree_leaves(whole_state),
+                    jax.tree_util.tree_leaves(state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

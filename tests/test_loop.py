@@ -81,3 +81,36 @@ def test_find_candidate_respects_time_and_radius():
     # no candidate when everything is recent
     found2, _ = find_candidate(store, cur_pose, jnp.float32(20.0), CFG)
     assert not bool(found2)
+
+
+def test_low_overlap_deceptive_fitness_rejected():
+    """The case the undocumented-until-r4 ``n_corr > 100`` gate protects
+    against (loop/detect.py): a near-disjoint alignment whose few inlier
+    correspondences produce a deceptively LOW mean-squared fitness.  The
+    reference accepts on ``converged ∧ fitness < 0.3`` alone
+    (mapOptmization.cpp:798-800) and relies on PCL's hasConverged();
+    our fixed-iteration Horn ICP substitutes the correspondence floor."""
+    rng = np.random.default_rng(4)
+    tgt_pts = rng.uniform(-5, 5, (2000, 3)).astype(np.float32)
+    tgt_pts[:800, 2] = 0.0
+    tgt_pts[800:1400, 0] = 4.0
+    tgt, tgt_v = _pad(tgt_pts, 4096)
+
+    # source = 40 exact copies of target points (perfect inliers), rest
+    # of the cloud far away (outside max_corr_dist → not correspondences)
+    src_pts = rng.uniform(200, 210, (600, 3)).astype(np.float32)
+    src_pts[:40] = tgt_pts[:40]
+    src, src_v = _pad(src_pts, 4096)
+
+    m = CFG.mapping
+    pose, fitness, n_corr = icp_align(
+        src, src_v, tgt, tgt_v, max_iters=m.icp_max_iters,
+        max_corr_dist=m.icp_max_corr_dist, eps=m.icp_eps)
+    # fitness-only (the reference's gate) would ACCEPT this garbage:
+    assert float(fitness) < m.history_keyframe_fitness_score, \
+        float(fitness)
+    # ...but the correspondence floor rejects it:
+    assert int(n_corr) <= 100, int(n_corr)
+    ok = (float(fitness) < m.history_keyframe_fitness_score) \
+        and (int(n_corr) > 100)
+    assert not ok
