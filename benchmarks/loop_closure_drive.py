@@ -25,15 +25,23 @@ print("backend:", jax.default_backend())
 from lego_loam_tpu.core import se3
 from lego_loam_tpu.core.config import vlp16
 from lego_loam_tpu.io.synthetic import make_sequence
-from lego_loam_tpu.io.npz_io import pack_sequence
+from lego_loam_tpu.io.npz_io import (pack_sequence, save_sequence,
+                                     load_sequence)
 from lego_loam_tpu.pipeline.slam import replay
 from lego_loam_tpu.eval.metrics import ate
 
 cfg = vlp16()
 # one full lap = 2*pi*6.5/1.3 = 31.4 s > 30 s loop time gap
 n = int(os.environ.get("N", "360"))
-scans, gt, times = make_sequence(n, cfg, seed=21, noise=0.01,
-                                 radius=6.5, speed=1.3)
+cache = f"/tmp/loopfire_{n}.npz"
+if os.path.exists(cache):
+    scans, gt, times = load_sequence(cache)
+else:
+    t0 = time.time()
+    scans, gt, times = make_sequence(n, cfg, seed=21, noise=0.01,
+                                     radius=6.5, speed=1.3)
+    print(f"generated {n} scans in {time.time()-t0:.0f}s")
+    save_sequence(cache, scans, gt, times)
 xyz, valid, t = pack_sequence(scans, times, cfg)
 t0 = time.time()
 final, outs = replay(xyz, valid, t, cfg)

@@ -30,9 +30,12 @@ from lego_loam_tpu.pipeline.slam import init_state, replay, slam_step
 def make_two_sessions(n1, n2, cfg, seed=7):
     """Same world; session 2 starts where session 1 ended in TIME (gap in
     stamps) but retraces the same circle — pure revisit."""
-    world = default_world(seed)
     gt1, t1, pose_fn = circle_trajectory(n1, radius=6.5, speed=1.3,
                                          period=cfg.laser.scan_period)
+    # keep the whole lap clear of world geometry (see default_world)
+    full = pose_fn(np.arange(0, 2 * np.pi * 6.5 / 1.3 + 0.1,
+                             cfg.laser.scan_period))
+    world = default_world(seed, path_xy=full[:, 3:5])
     scans1 = [simulate_scan(pose_fn, t, cfg, world, noise=0.01,
                             seed=seed + i) for i, t in enumerate(t1)]
     # session 2: same trajectory function, shifted in time by 2 lap gaps

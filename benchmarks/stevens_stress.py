@@ -99,7 +99,8 @@ def chunk_inputs(xb, vb, c0):
 def run_pass(eps, verbose=False):
     xb = xyz_b.at[0, 0].add(eps) if eps else xyz_b   # base copy: 275 MB
     state = init_state(cfg)
-    acc = {"fused": [], "factor_count": [], "kf_count": []}
+    acc = {"fused": [], "factor_count": [], "kf_count": [],
+           "odom": [], "mapped": []}
     chunk_times = []
     t0 = time.time()
     for c0 in range(0, n, chunk):
@@ -162,7 +163,8 @@ for i in range(step - 1, len(err), step):
           f"loopf={int(fcs[i]) - (int(kcs[i]) - 1)}")
 if os.environ.get("DUMP"):
     np.savez(os.environ["DUMP"], fused=fused, gt_rel=gt_rel,
-             factor_count=fcs, kf_count=kcs)
+             factor_count=fcs, kf_count=kcs, odom=outs["odom"],
+             mapped=outs["mapped"])
     print("dumped", os.environ["DUMP"])
 
 # saturation gates LAST so the diagnostics above survive a failure

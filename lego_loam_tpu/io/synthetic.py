@@ -30,12 +30,24 @@ class World:
     cylinders: np.ndarray   # (C, 4): cx cy radius height
 
 
-def default_world(seed: int = 0) -> World:
+def default_world(seed: int = 0, path_xy: Optional[np.ndarray] = None,
+                  margin: float = 2.5) -> World:
     """A campus block: perimeter walls, buildings at mixed orientations,
     street furniture, and poles/trees.  Density matters — sparse worlds
     make pole-surface 'corners' dominate, whose viewpoint parallax biases
     scan-to-scan odometry in a way real urban scans (hundreds of true
-    building edges) do not."""
+    building edges) do not.
+
+    ``path_xy`` (P,2): the trajectory footprint the world must keep
+    clear.  The r3 worlds only cleared a fixed 9×9 box around the
+    origin, but the figure-eight spans ±14×±9 and the r=8 circles reach
+    y≈16 — the vehicle DROVE THROUGH buildings (measured: scans with
+    median range 0.2 m from inside a box, odometry pitch bursts of
+    1-3°/scan at the clip limit, 6 m/lap z-drift; no estimator survives
+    garbage scans, and a real campus dataset never contains them).
+    Objects are rejection-sampled to stay ``margin`` + their own radius
+    away from every path sample; ``None`` keeps the legacy fixed
+    clearing for path-free callers."""
     rng = np.random.default_rng(seed)
     L = 40.0
     boxes = [
@@ -45,24 +57,49 @@ def default_world(seed: int = 0) -> World:
         [-L, 0.0, 0.2, L, 4.0, 0.0],
         [L, 0.0, 0.2, L, 4.0, 0.0],
     ]
+
+    def clear_of_path(cx, cy, r_obj):
+        if path_xy is None:
+            return True
+        d = np.min(np.hypot(path_xy[:, 0] - cx, path_xy[:, 1] - cy))
+        return d >= margin + r_obj
+
+    def place(border, lim, push, r_obj):
+        """Draw until the object clears the path (deterministic rng);
+        the legacy origin-box nudge keeps path-free worlds identical."""
+        cx = cy = 1.0
+        for _ in range(64):
+            cx, cy = rng.uniform(-L + border, L - border, 2)
+            if abs(cx) < lim and abs(cy) < lim:
+                cx += np.sign(cx or 1.0) * push
+            if clear_of_path(cx, cy, r_obj):
+                return cx, cy
+        # dense path: walk the last draw radially out from the origin
+        # (every standard trajectory encircles/crosses it) until clear
+        if cx == 0.0 and cy == 0.0:
+            cx = cy = 1.0
+        for _ in range(50):
+            if clear_of_path(cx, cy, r_obj):
+                break
+            cx *= 1.15
+            cy *= 1.15
+        return cx, cy
+
     for _ in range(10):                       # buildings
-        cx, cy = rng.uniform(-L + 10, L - 10, 2)
-        if abs(cx) < 9 and abs(cy) < 9:       # keep trajectory area clear
-            cx += np.sign(cx or 1.0) * 13
-        boxes.append([cx, cy, rng.uniform(2.5, 6), rng.uniform(2.5, 6),
+        hw, hd = rng.uniform(2.5, 6), rng.uniform(2.5, 6)
+        cx, cy = place(10, 9, 13, float(np.hypot(hw, hd)))
+        boxes.append([cx, cy, hw, hd,
                       rng.uniform(2.5, 5.0), rng.uniform(0, np.pi)])
     for _ in range(18):                       # kiosks/planters/benches
-        cx, cy = rng.uniform(-L + 5, L - 5, 2)
-        if abs(cx) < 7 and abs(cy) < 7:
-            cx += np.sign(cx or 1.0) * 9
-        boxes.append([cx, cy, rng.uniform(0.4, 1.2), rng.uniform(0.4, 1.2),
+        hw, hd = rng.uniform(0.4, 1.2), rng.uniform(0.4, 1.2)
+        cx, cy = place(5, 7, 9, float(np.hypot(hw, hd)))
+        boxes.append([cx, cy, hw, hd,
                       rng.uniform(0.8, 2.0), rng.uniform(0, np.pi)])
     cylinders = []
     for _ in range(40):                       # poles / tree trunks
-        cx, cy = rng.uniform(-L + 4, L - 4, 2)
-        if abs(cx) < 6 and abs(cy) < 6:
-            cx += np.sign(cx or 1.0) * 8
-        cylinders.append([cx, cy, rng.uniform(0.04, 0.15), 4.0])
+        r = rng.uniform(0.04, 0.15)
+        cx, cy = place(4, 6, 8, float(r))
+        cylinders.append([cx, cy, r, 4.0])
     return World(boxes=np.array(boxes, np.float64),
                  cylinders=np.array(cylinders, np.float64))
 
@@ -316,7 +353,6 @@ def make_sequence(n_scans: int, cfg: Optional[LegoLoamConfig] = None,
     from ..core.config import vlp16
 
     cfg = cfg or vlp16()
-    world = default_world(seed)
     if trajectory == "figure8":
         gt, times, pose_fn = figure_eight_trajectory(
             n_scans, scan_period=cfg.laser.scan_period)
@@ -327,6 +363,23 @@ def make_sequence(n_scans: int, cfg: Optional[LegoLoamConfig] = None,
         gt, times, pose_fn = circle_trajectory(
             n_scans, radius=radius, speed=speed,
             period=cfg.laser.scan_period)
+    # the world must keep the WHOLE trajectory footprint clear (see
+    # default_world) — including the part a short prefix would miss, so
+    # the same (seed, trajectory family) always yields the same world
+    # regardless of n_scans (sequences of different lengths stay
+    # prefix-consistent)
+    if trajectory == "figure8":
+        full, _, _ = figure_eight_trajectory(
+            700, scan_period=cfg.laser.scan_period)
+    elif trajectory == "aggressive":
+        full, _, _ = aggressive_trajectory(
+            max(n_scans, 400), scan_period=cfg.laser.scan_period,
+            speed=speed)
+    else:
+        full_t = np.arange(0, 2.0 * np.pi * radius / max(speed, 1e-6),
+                           cfg.laser.scan_period)
+        full = pose_fn(full_t)
+    world = default_world(seed, path_xy=full[:, 3:5])
     scans = [
         simulate_scan(pose_fn, t, cfg, world, noise=noise, seed=seed + i,
                       distortion=distortion)
