@@ -100,7 +100,7 @@ def run_pass(eps, verbose=False):
     xb = xyz_b.at[0, 0].add(eps) if eps else xyz_b   # base copy: 275 MB
     state = init_state(cfg)
     acc = {"fused": [], "factor_count": [], "kf_count": [],
-           "odom": [], "mapped": []}
+           "odom": [], "mapped": [], "loop_diag": []}
     chunk_times = []
     t0 = time.time()
     for c0 in range(0, n, chunk):
@@ -164,7 +164,7 @@ for i in range(step - 1, len(err), step):
 if os.environ.get("DUMP"):
     np.savez(os.environ["DUMP"], fused=fused, gt_rel=gt_rel,
              factor_count=fcs, kf_count=kcs, odom=outs["odom"],
-             mapped=outs["mapped"])
+             mapped=outs["mapped"], loop_diag=outs["loop_diag"])
     print("dumped", os.environ["DUMP"])
 
 # saturation gates LAST so the diagnostics above survive a failure

@@ -264,6 +264,19 @@ def mapping_step(meta: MappingMeta, clouds: KeyframeClouds,
         res = detect_and_verify(store2, row, assoc.stamp, cfg,
                                 robot_pose=pose)
         msat = msat + res["sat"]
+        # per-attempt observability (threaded to replay outputs):
+        # [attempted, accepted, fitness, corr_trans, corr_rot,
+        #  old_idx, latest_idx, 0]
+        corr_rel = se3.relative(pose, res["corrected_pose"])
+        diag = jnp.stack([
+            jnp.float32(1.0),
+            res["found"].astype(jnp.float32),
+            jnp.minimum(res["fitness"], 1e6),
+            jnp.linalg.norm(corr_rel[3:]),
+            jnp.max(jnp.abs(corr_rel[:3])),
+            res["old_idx"].astype(jnp.float32),
+            res["latest_idx"].astype(jnp.float32),
+            jnp.float32(0.0)])
 
         def closed(kf_pose_a, grid, graph, fcount, fdrop, aft):
             w = jnp.full((6,), 1.0 / jnp.sqrt(
@@ -306,12 +319,14 @@ def mapping_step(meta: MappingMeta, clouds: KeyframeClouds,
             res["found"], closed,
             lambda p, gr, g, f, d, a: (p, gr, g, f, d, a),
             kf_pose_a, grid, graph, fcount, fdrop, aft)
-        return p, gr, g, f, d, msat, a
+        return p, gr, g, f, d, msat, a, diag
 
     with jax.named_scope("loop_closure"):
-        kf_pose, grid, graph, fcount, fdrop, map_sat, pose = jax.lax.cond(
+        (kf_pose, grid, graph, fcount, fdrop, map_sat, pose,
+         loop_diag) = jax.lax.cond(
             run_loop, with_loop,
-            lambda p, gr, g, f, d, s, a: (p, gr, g, f, d, s, a),
+            lambda p, gr, g, f, d, s, a: (
+                p, gr, g, f, d, s, a, jnp.zeros((8,), jnp.float32)),
             kf_pose, grid, graph, fcount, fdrop, map_sat, pose)
 
     new_meta = MappingMeta(
@@ -320,4 +335,4 @@ def mapping_step(meta: MappingMeta, clouds: KeyframeClouds,
         aft_mapped=pose, bef_mapped=assoc.odom,
         initialized=jnp.bool_(True),
         kf_dropped=kf_dropped, factor_dropped=fdrop, map_sat=map_sat)
-    return new_meta, row, pose
+    return new_meta, row, pose, loop_diag

@@ -93,13 +93,13 @@ def slam_step_impl(state: SlamState, raw: RawScan, cfg: LegoLoamConfig,
         clouds = jax.lax.with_sharding_constraint(
             clouds, jax.tree.map(lambda _: shard, clouds))
     with jax.named_scope("mapping"):
-        meta, row, mapped = jax.lax.cond(
+        meta, row, mapped, loop_diag = jax.lax.cond(
             run_mapping,
             lambda mm: mapping_mod.mapping_step(mm, clouds, assoc, cfg,
                                                 mesh=mesh,
                                                 pgo_axis=pgo_axis),
             lambda mm: (mm, keyframes.null_row(clouds.capacity),
-                        mm.aft_mapped),
+                        mm.aft_mapped, jnp.zeros((8,), jnp.float32)),
             state.mapping.meta)
         map_state = mapping_mod.MappingState(
             meta=meta, clouds=keyframes.apply_row(clouds, row))
@@ -117,6 +117,9 @@ def slam_step_impl(state: SlamState, raw: RawScan, cfg: LegoLoamConfig,
         # just the final count
         "kf_count": meta.kf_count,
         "factor_count": meta.factor_count,
+        # [attempted, accepted, fitness, corr_trans, corr_rot,
+        #  old_idx, latest_idx, 0] of this scan's loop attempt
+        "loop_diag": loop_diag,
     }
     return new_state, outputs
 
@@ -219,9 +222,10 @@ def batched_replay(xyz: Array, valid: Array, times: Array,
             null = jax.vmap(
                 lambda _: keyframes.null_row(clouds.capacity)
             )(jnp.arange(B))
-            return mm, null, mm.aft_mapped
+            return (mm, null, mm.aft_mapped,
+                    jnp.zeros((B, 8), jnp.float32))
 
-        meta, rows, mapped = jax.lax.cond(
+        meta, rows, mapped, _ = jax.lax.cond(
             run_mapping, do_map, skip_map, states.mapping.meta)
         map_state = mapping_mod.MappingState(
             meta=meta,
