@@ -209,6 +209,20 @@ class MappingConfig:
     # accepted closures on a revisit-heavy trajectory; factor rows are
     # 26 B each, so headroom is free
     max_loop_factors: int = 2048
+    # Correction-plausibility gate on accepted closures (DEVIATION from
+    # the reference, which gates on ICP fitness alone,
+    # mapOptmization.cpp:798-800).  With closures every ~15 scans the
+    # attitude drift between anchors is < 0.2°; a "correction" claiming
+    # several degrees is a false ICP minimum with deceptively low
+    # fitness (measured on the 20 K-scan Stevens run: 557 legitimate
+    # closures with max 0.81° / 0.29 m corrections, then ONE accepted
+    # 6.06° rotation at the figure-eight crossing — fitness 0.025,
+    # well under the 0.3 gate — that rewrote the frame, corrupted the
+    # rebuilt submap grid, and sent the trajectory to 564 m ATE).
+    # Translation is allowed more slack: it legitimately accumulates
+    # between anchors.  tests/test_loop.py covers the gate.
+    loop_max_correction_rot_deg: float = 2.5
+    loop_max_correction_trans: float = 3.0
     loop_history_cap: int = 32768              # ICP target capacity
     loop_source_cap: int = 4096                # ICP source capacity
 

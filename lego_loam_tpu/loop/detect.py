@@ -147,6 +147,15 @@ def detect_and_verify(store: KeyframeStore, row, cur_stamp: Array,
             max_iters=m.icp_max_iters,
             max_corr_dist=m.icp_max_corr_dist, eps=m.icp_eps,
             knn_impl=m.knn_impl)
+        # Correction-plausibility gate (config.py::
+        # loop_max_correction_rot_deg docstring has the measured
+        # calibration): a closure whose ICP "correction" rotates the
+        # frame by degrees is a false minimum regardless of fitness —
+        # legitimate corrections at the 15-scan anchor cadence are
+        # < 1°/0.3 m.
+        rot_ok = jnp.max(jnp.abs(corr[:3])) < jnp.deg2rad(
+            m.loop_max_correction_rot_deg)
+        trans_ok = jnp.linalg.norm(corr[3:]) < m.loop_max_correction_trans
         # DELIBERATE DEVIATION from the reference gate, which accepts on
         # ``converged ∧ fitness < 0.3`` alone (mapOptmization.cpp:798-800).
         # PCL's getFitnessScore() is the mean squared distance over inlier
@@ -161,7 +170,8 @@ def detect_and_verify(store: KeyframeStore, row, cur_stamp: Array,
         # fitness is meaningless.  tests/test_loop.py::
         # test_low_overlap_deceptive_fitness_rejected shows the concrete
         # false-accept this guards against.
-        ok = (fitness < m.history_keyframe_fitness_score) & (n_corr > 100)
+        ok = (fitness < m.history_keyframe_fitness_score) \
+            & (n_corr > 100) & rot_ok & trans_ok
         corrected = se3.compose(corr, cur_pose)
         z = se3.relative(corrected, store.pose[old_idx])
         return ok, z, fitness, corrected, hist_sat

@@ -106,6 +106,27 @@ def slam_step_impl(state: SlamState, raw: RawScan, cfg: LegoLoamConfig,
 
     fused = mapping_mod.fuse_pose(map_state, assoc.odom)
 
+    # Re-anchor the odometry integration to the mapped pose after every
+    # mapping cycle.  The integrated odometry pose is only ever consumed
+    # RELATIVE to ``bef_mapped`` (predict_pose/fuse_pose compose
+    # ``aft ∘ rel(bef, odom)``), so this changes nothing mathematically —
+    # but an unanchored Euler integration random-walks its attitude
+    # without bound and the pitch=±90° gimbal singularity is an
+    # ABSORBING state of compose∘matrix_to_rpy (measured: the 20 K-scan
+    # Stevens run's raw odometry hit pitch=+90° at scan ~9000, stuck
+    # there permanently, and the garbage rel(bef, odom) killed the
+    # trajectory in BOTH submap modes).  The reference integrates
+    # transformSum unanchored (featureAssociation.cpp:1254-1281) and
+    # shares the singularity; its bag runs are just too short to hit it.
+    # Map-anchored attitude stays near truth, so the singularity is
+    # unreachable.  In odometry-only mode nothing runs mapping and the
+    # stream stays the pure integration (reference semantics).
+    odo_state = odo_state.replace(
+        odom=jnp.where(run_mapping, mapped, odo_state.odom))
+    map_state = map_state.replace(meta=map_state.meta.replace(
+        bef_mapped=jnp.where(run_mapping, mapped,
+                             map_state.meta.bef_mapped)))
+
     new_state = SlamState(odo=odo_state, mapping=map_state,
                           scan_index=state.scan_index + 1)
     outputs = {
@@ -231,6 +252,13 @@ def batched_replay(xyz: Array, valid: Array, times: Array,
             meta=meta,
             clouds=jax.vmap(keyframes.apply_row)(clouds, rows))
         fused = jax.vmap(mapping_mod.fuse_pose)(map_state, assocs.odom)
+
+        # gimbal-singularity re-anchor, as in slam_step_impl
+        odo = odo.replace(
+            odom=jnp.where(run_mapping, mapped, odo.odom))
+        map_state = map_state.replace(meta=map_state.meta.replace(
+            bef_mapped=jnp.where(run_mapping, mapped,
+                                 map_state.meta.bef_mapped)))
 
         new_states = SlamState(odo=odo, mapping=map_state,
                                scan_index=states.scan_index + 1)

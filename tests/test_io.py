@@ -152,3 +152,26 @@ def test_chunked_replay_from_matches_whole():
     for a, b in zip(jax.tree_util.tree_leaves(whole_state),
                     jax.tree_util.tree_leaves(state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_odometry_reanchor_invariant():
+    """Gimbal-singularity guard (pipeline/slam.py): after a scan where
+    mapping ran, the stored odometry integration and bef_mapped are both
+    re-anchored to the mapped pose, so the Euler attitude of the
+    integration can never random-walk into the pitch=±90° absorbing
+    state (measured at scan ~9000 of the 20 K Stevens run)."""
+    from tests.test_distributed import _tiny_cfg
+    from lego_loam_tpu.io.synthetic import make_sequence
+    from lego_loam_tpu.pipeline.slam import replay
+
+    cfg = _tiny_cfg()
+    div = cfg.mapping.mapping_frequency_divider
+    n = div  # mapping runs exactly on the last scan
+    scans, gt, times = make_sequence(n, cfg, seed=4, noise=0.01)
+    xyz, valid, t = pack_sequence(scans, times, cfg)
+    final, outs = replay(xyz, valid, t, cfg)
+    odom = np.asarray(final.odo.odom)
+    bef = np.asarray(final.mapping.meta.bef_mapped)
+    aft = np.asarray(final.mapping.meta.aft_mapped)
+    np.testing.assert_array_equal(odom, bef)
+    np.testing.assert_array_equal(odom, aft)

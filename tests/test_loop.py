@@ -114,3 +114,43 @@ def test_low_overlap_deceptive_fitness_rejected():
     ok = (float(fitness) < m.history_keyframe_fitness_score) \
         and (int(n_corr) > 100)
     assert not ok
+
+
+def test_implausible_rotation_correction_rejected():
+    """Correction-plausibility gate (config.py::
+    loop_max_correction_rot_deg): in a rotationally ambiguous scene,
+    point-to-point ICP happily converges to a rotated alignment with
+    near-zero fitness — measured live on the 20 K Stevens run, where
+    ONE accepted 6.06° "correction" at the figure-eight crossing
+    (fitness 0.025, far under the 0.3 gate) rewrote the frame and sent
+    the trajectory to 564 m ATE.  At the ~15-scan anchor cadence the
+    attitude drift between closures is < 0.2°, so a multi-degree
+    correction is implausible REGARDLESS of fitness; only the rotation
+    gate catches it.  Here: a 12-fold-symmetric pillar ring offset by
+    10° aligns perfectly (fitness ~0) with a 10° claimed rotation."""
+    m = CFG.mapping
+    rng = np.random.default_rng(8)
+    ang = np.repeat(np.arange(12) * np.pi / 6, 120)
+    pillar = np.stack([8 * np.cos(ang), 8 * np.sin(ang),
+                       np.tile(np.linspace(0, 3, 120), 12)], 1)
+    pillar += rng.normal(0, 0.01, pillar.shape)
+    tgt_pts = pillar.astype(np.float32)
+    c, s = np.cos(np.deg2rad(10)), np.sin(np.deg2rad(10))
+    R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    src_pts = (tgt_pts @ R.T).astype(np.float32)
+
+    tgt, tgt_v = _pad(tgt_pts, 4096)
+    src, src_v = _pad(src_pts, 4096)
+    pose, fitness, n_corr = icp_align(
+        src, src_v, tgt, tgt_v, max_iters=m.icp_max_iters,
+        max_corr_dist=m.icp_max_corr_dist, eps=m.icp_eps)
+    rot_deg = np.degrees(np.max(np.abs(np.asarray(pose[:3]))))
+    # passes the reference-style fitness gate and the n_corr floor...
+    assert float(fitness) < m.history_keyframe_fitness_score, float(fitness)
+    assert int(n_corr) > 100
+    # ...but demands an implausible rotation, which the gate rejects
+    assert rot_deg > m.loop_max_correction_rot_deg, rot_deg
+    ok = (float(fitness) < m.history_keyframe_fitness_score) \
+        and (int(n_corr) > 100) \
+        and (rot_deg < m.loop_max_correction_rot_deg)
+    assert not ok
