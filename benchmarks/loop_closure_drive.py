@@ -47,9 +47,22 @@ t0 = time.time()
 final, outs = replay(xyz, valid, t, cfg)
 jax.block_until_ready(outs)
 print(f"compile+run: {time.time()-t0:.1f}s")
+profile_dir = os.environ.get("BENCH_PROFILE")
+if profile_dir:
+    with jax.profiler.trace(profile_dir, create_perfetto_trace=True):
+        final, outs = replay(xyz, valid, t, cfg)
+        np.asarray(outs["fused"][-1])
+    print(f"profiler trace written to {profile_dir}")
+# one warm-up BETWEEN compile and timing: the second execution of a
+# fresh executable consistently runs several× slower than steady state
+# on the axon backend (measured 25 vs 189 scans/s on identical runs —
+# same warm-up cliff bench.py works around with its run alternation)
+final, outs = replay(xyz, valid, t, cfg)
+np.asarray(outs["fused"][-1])
 t0 = time.time()
 final, outs = replay(xyz, valid, t, cfg)
 jax.block_until_ready(outs)
+np.asarray(outs["fused"][-1])
 dt = time.time() - t0
 print(f"steady: {n/dt:.1f} scans/s")
 

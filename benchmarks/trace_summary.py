@@ -48,13 +48,18 @@ def group_name(name):
     return _STRIP.sub("", base) or base
 
 
-def stage_name(name):
-    """Deepest pipeline named_scope on the op's metadata path."""
-    segs = name.split("/")
-    for seg in reversed(segs[:-1]):
-        base = _STRIP.sub("", seg) or seg
-        if base in _STAGES:
-            return base
+def stage_name(name, tf_op=""):
+    """Deepest pipeline named_scope on the op's metadata path.
+
+    The scope path lives in the event's ``args.tf_op`` field (e.g.
+    ``jit(replay_impl)/while/body/closed_call/projection/...``), not in
+    the display name."""
+    for path in (tf_op, name):
+        segs = path.split("/")
+        for seg in reversed(segs):
+            base = _STRIP.sub("", seg) or seg
+            if base in _STAGES:
+                return base
     return "unscoped"
 
 
@@ -112,12 +117,13 @@ def main(trace_dir, out_path=None):
             name = e.get("name", "?")
             t0 = min(t0, ts)
             t1 = max(t1, ts + dur)
+            st = stage_name(name, (e.get("args") or {}).get("tf_op", ""))
             while stack and ts >= stack[-1][0] - 1e-9:
-                end, nm, si = stack.pop()
+                end, nm, si, sst = stack.pop()
                 by_group[group_name(nm)] += selfs[si]
                 by_exact[nm] += selfs[si]
-                by_stage[stage_name(nm)] += selfs[si]
-                by_stage_op[(stage_name(nm), group_name(nm))] += selfs[si]
+                by_stage[sst] += selfs[si]
+                by_stage_op[(sst, group_name(nm))] += selfs[si]
                 total += selfs[si]
             if stack:
                 # child time is not self; clamp to the actual overlap so
@@ -125,14 +131,14 @@ def main(trace_dir, out_path=None):
                 # the parent's self time negative
                 overlap = min(dur, max(stack[-1][0] - ts, 0.0))
                 selfs[stack[-1][2]] -= overlap
-            stack.append((ts + dur, name, len(selfs)))
+            stack.append((ts + dur, name, len(selfs), st))
             selfs.append(dur)
         while stack:
-            end, nm, si = stack.pop()
+            end, nm, si, sst = stack.pop()
             by_group[group_name(nm)] += selfs[si]
             by_exact[nm] += selfs[si]
-            by_stage[stage_name(nm)] += selfs[si]
-            by_stage_op[(stage_name(nm), group_name(nm))] += selfs[si]
+            by_stage[sst] += selfs[si]
+            by_stage_op[(sst, group_name(nm))] += selfs[si]
             total += selfs[si]
 
     span = max(t1 - t0, 1e-9)

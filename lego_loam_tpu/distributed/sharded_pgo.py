@@ -24,8 +24,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..core import se3
-from ..graph.posegraph import (FactorGraph, _chain_subdiag,
-                               _factor_blocks, chain_preconditioner)
+from ..graph.posegraph import (FactorGraph, _bmm_tn, _bmv, _bmv_t,
+                               _chain_subdiag, _factor_blocks,
+                               chain_preconditioner)
 
 Array = jax.Array
 
@@ -82,16 +83,14 @@ def optimize_poses_sharded(poses: Array, node_count: Array,
             r, Ai, Aj = _factor_blocks(poses, g_local)
 
             grad = jnp.zeros((K, 6), poses.dtype)
-            grad = grad.at[g_local.i].add(
-                jnp.einsum("fab,fa->fb", Ai, r))
-            grad = grad.at[g_local.j].add(
-                jnp.einsum("fab,fa->fb", Aj, r))
+            grad = grad.at[g_local.i].add(_bmv_t(Ai, r))
+            grad = grad.at[g_local.j].add(_bmv_t(Aj, r))
             grad = jax.lax.psum(grad, axis)
             r0 = (poses[0] - g_local.prior) * jnp.sqrt(prior_w2)
             grad = grad.at[0].add(jnp.sqrt(prior_w2) * r0)
 
-            Di = jnp.einsum("fab,fac->fbc", Ai, Ai)
-            Dj = jnp.einsum("fab,fac->fbc", Aj, Aj)
+            Di = _bmm_tn(Ai, Ai)
+            Dj = _bmm_tn(Aj, Aj)
             D = jnp.zeros((K, 6, 6), Ai.dtype)
             D = D.at[g_local.i].add(Di)
             D = D.at[g_local.j].add(Dj)
@@ -109,13 +108,10 @@ def optimize_poses_sharded(poses: Array, node_count: Array,
             def matvec(x):
                 xi = x[g_local.i]
                 xj = x[g_local.j]
-                u = (jnp.einsum("fab,fb->fa", Ai, xi)
-                     + jnp.einsum("fab,fb->fa", Aj, xj))
+                u = _bmv(Ai, xi) + _bmv(Aj, xj)
                 y = jnp.zeros((K, 6), x.dtype)
-                y = y.at[g_local.i].add(
-                    jnp.einsum("fab,fa->fb", Ai, u))
-                y = y.at[g_local.j].add(
-                    jnp.einsum("fab,fa->fb", Aj, u))
+                y = y.at[g_local.i].add(_bmv_t(Ai, u))
+                y = y.at[g_local.j].add(_bmv_t(Aj, u))
                 y = jax.lax.psum(y, axis)
                 y = y.at[0].add(prior_w2 * x[0])
                 return (y + 1e-8 * x) * alive

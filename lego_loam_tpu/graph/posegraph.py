@@ -123,9 +123,9 @@ def _hvp(x: Array, g: FactorGraph, Ai: Array, Aj: Array,
     """H·x where H = Σ_f [Ai Aj]ᵀ[Ai Aj] + prior — matrix-free."""
     xi = x[g.i]                                    # (F,6)
     xj = x[g.j]
-    u = jnp.einsum("fab,fb->fa", Ai, xi) + jnp.einsum("fab,fb->fa", Aj, xj)
-    yi = jnp.einsum("fab,fa->fb", Ai, u)
-    yj = jnp.einsum("fab,fa->fb", Aj, u)
+    u = _bmv(Ai, xi) + _bmv(Aj, xj)
+    yi = _bmv_t(Ai, u)
+    yj = _bmv_t(Aj, u)
     y = jnp.zeros((K, 6), x.dtype)
     y = y.at[g.i].add(yi)
     y = y.at[g.j].add(yj)
@@ -136,8 +136,8 @@ def _hvp(x: Array, g: FactorGraph, Ai: Array, Aj: Array,
 def _block_diag(g: FactorGraph, Ai: Array, Aj: Array, prior_w2: Array,
                 K: int) -> Array:
     """The K block-diagonal 6×6 of H (for the Jacobi preconditioner)."""
-    Di = jnp.einsum("fab,fac->fbc", Ai, Ai)
-    Dj = jnp.einsum("fab,fac->fbc", Aj, Aj)
+    Di = _bmm_tn(Ai, Ai)
+    Dj = _bmm_tn(Aj, Aj)
     D = jnp.zeros((K, 6, 6), Ai.dtype)
     D = D.at[g.i].add(Di)
     D = D.at[g.j].add(Dj)
@@ -149,6 +149,59 @@ def _next_pow2(n: int) -> int:
     return 1 << max(n - 1, 0).bit_length()
 
 
+# Batched tiny-matrix products as ELEMENTWISE broadcast-multiply-sums.
+# einsum/dot_general on (K,6,6) blocks is wrong for TPU twice over:
+# the 6×6 operands waste 34× of every MXU tile, and under the HIGHEST
+# precision this solver requires (see _cr_factor) XLA lowers the dot to
+# a pathologically slow path — measured 410 ms for ONE (4096,6,6)
+# sweep of 1.8 MFLOPs.  The VPU form is exact f32 with no precision
+# emulation and runs in microseconds.
+
+
+def _bmm_tn(a: Array, b: Array) -> Array:
+    """aᵀ b: (..., k, i) @ (..., k, j) summed over k."""
+    return jnp.sum(a[..., :, :, None] * b[..., :, None, :], axis=-3)
+
+
+def _bmv(a: Array, v: Array) -> Array:
+    """(..., i, k) @ (..., k)."""
+    return jnp.sum(a * v[..., None, :], axis=-1)
+
+
+def _bmv_t(a: Array, v: Array) -> Array:
+    """aᵀ v: (..., k, i) @ (..., k)."""
+    return jnp.sum(a * v[..., :, None], axis=-2)
+
+
+# cyclic-reduction internals use BATCH-MINOR blocks (6, 6, n) / vectors
+# (6, n) — node axis on the lanes; see _cr_factor
+
+
+def _bm_mm(a: Array, b: Array) -> Array:
+    """cᵢⱼ = Σₖ aᵢₖ bₖⱼ, blocks (6, 6, n)."""
+    return jnp.sum(a[:, :, None, :] * b[None, :, :, :], axis=1)
+
+
+def _bm_mm_tn(a: Array, b: Array) -> Array:
+    """aᵀ b: cᵢⱼ = Σₖ aₖᵢ bₖⱼ."""
+    return jnp.sum(a[:, :, None, :] * b[:, None, :, :], axis=0)
+
+
+def _bm_mm_nt(a: Array, b: Array) -> Array:
+    """a bᵀ: cᵢⱼ = Σₖ aᵢₖ bⱼₖ."""
+    return jnp.sum(a[:, None, :, :] * b[None, :, :, :], axis=2)
+
+
+def _bm_mv(a: Array, v: Array) -> Array:
+    """yᵢ = Σₖ aᵢₖ vₖ, a (6, 6, n), v (6, n)."""
+    return jnp.sum(a * v[None, :, :], axis=1)
+
+
+def _bm_mv_t(a: Array, v: Array) -> Array:
+    """aᵀ v: yᵢ = Σₖ aₖᵢ vₖ."""
+    return jnp.sum(a * v[:, None, :], axis=0)
+
+
 def _chain_subdiag(g: FactorGraph, Ai: Array, Aj: Array, K: int) -> Array:
     """Sub-diagonal blocks of H restricted to chain factors:
     ``A[k] = H[k, k−1]`` summed over factors with ``|i−j| == 1``.
@@ -158,8 +211,8 @@ def _chain_subdiag(g: FactorGraph, Ai: Array, Aj: Array, K: int) -> Array:
     Jacobians are already masked in :func:`_factor_blocks`)."""
     up = g.j == g.i + 1          # factor (k−1 → k): H[j,i] += Ajᵀ Ai
     dn = g.i == g.j + 1          # factor (k → k−1): H[i,j] += Aiᵀ Aj
-    blk_up = jnp.einsum("fab,fac->fbc", Aj, Ai)
-    blk_dn = jnp.einsum("fab,fac->fbc", Ai, Aj)
+    blk_up = _bmm_tn(Aj, Ai)
+    blk_dn = _bmm_tn(Ai, Aj)
     A = jnp.zeros((K, 6, 6), Ai.dtype)
     A = A.at[jnp.where(up, g.j, K)].add(blk_up, mode="drop")
     A = A.at[jnp.where(dn, g.i, K)].add(blk_dn, mode="drop")
@@ -198,57 +251,65 @@ def _cr_factor(A: Array, B: Array):
         B = jnp.concatenate(
             [B, jnp.broadcast_to(jnp.eye(6, dtype=B.dtype),
                                  (K2 - K, 6, 6))])
+    # BATCH-MINOR layout (6,6,n): the node axis rides the TPU lane
+    # dimension.  In (n,6,6) layout every (8,128)-tiled intermediate
+    # pads 6→8 × 6→128 (34×) — the elementwise product sweeps became
+    # 100 MB arrays and the factorization cost ~1.4 s per closure.
+    A = jnp.transpose(A, (1, 2, 0))
+    B = jnp.transpose(B, (1, 2, 0))
     levels = []
     n = K2
     while n > 1:
-        Ae, Ao = A[0::2], A[1::2]          # (n/2, 6, 6)
-        Be, Bo = B[0::2], B[1::2]
-        Bo_inv = jnp.linalg.inv(Bo)
+        Ae, Ao = A[:, :, 0::2], A[:, :, 1::2]      # (6, 6, n/2)
+        Be, Bo = B[:, :, 0::2], B[:, :, 1::2]
+        Bo_inv = jnp.transpose(jnp.linalg.inv(
+            jnp.transpose(Bo, (2, 0, 1))), (1, 2, 0))
         # P[m] = A_{2m} B_{2m−1}⁻¹ (0 for m = 0: A_0 = 0)
         P = jnp.concatenate([
-            jnp.zeros((1, 6, 6), A.dtype),
-            jnp.einsum("mab,mbc->mac", Ae[1:], Bo_inv[:-1])])
+            jnp.zeros((6, 6, 1), A.dtype),
+            _bm_mm(Ae[:, :, 1:], Bo_inv[:, :, :-1])], axis=2)
         # Q[m] = A_{2m+1}ᵀ B_{2m+1}⁻¹
-        Q = jnp.einsum("mba,mbc->mac", Ao, Bo_inv)
-        B_new = (Be - jnp.einsum("mab,mcb->mac", P, Ae)
-                 - jnp.einsum("mab,mbc->mac", Q, Ao))
+        Q = _bm_mm_tn(Ao, Bo_inv)
+        B_new = Be - _bm_mm_nt(P, Ae) - _bm_mm(Q, Ao)
         A_new = jnp.concatenate([
-            jnp.zeros((1, 6, 6), A.dtype),
-            -jnp.einsum("mab,mbc->mac", P[1:], Ao[:-1])])
+            jnp.zeros((6, 6, 1), A.dtype),
+            -_bm_mm(P[:, :, 1:], Ao[:, :, :-1])], axis=2)
         levels.append((P, Q, Bo_inv, Ao, Ae))
         A, B = A_new, B_new
         n //= 2
-    return levels, jnp.linalg.inv(B)       # B is (1, 6, 6)
+    B1_inv = jnp.transpose(jnp.linalg.inv(
+        jnp.transpose(B, (2, 0, 1))), (1, 2, 0))
+    return levels, B1_inv                      # (6, 6, 1)
 
 
 def _cr_solve(levels, B1_inv: Array, r: Array) -> Array:
     """Apply T⁻¹ via the cyclic-reduction factorization: forward
-    r-reduction down the levels, 1×1 solve, back-substitution up."""
+    r-reduction down the levels, 1×1 solve, back-substitution up.
+    All internal vectors are batch-minor (6, n) — see _cr_factor."""
     K = r.shape[0]
-    K2 = levels[0][0].shape[0] * 2 if levels else 1
+    K2 = levels[0][0].shape[2] * 2 if levels else 1
     if K2 != K:
         r = jnp.concatenate([r, jnp.zeros((K2 - K, 6), r.dtype)])
+    r = r.T                                    # (6, K2)
     ros = []
     for P, Q, Bo_inv, Ao, Ae in levels:
-        re, ro = r[0::2], r[1::2]
+        re, ro = r[:, 0::2], r[:, 1::2]
         ros.append(ro)
         ro_prev = jnp.concatenate(
-            [jnp.zeros((1, 6), r.dtype), ro[:-1]])
-        r = (re - jnp.einsum("mab,mb->ma", P, ro_prev)
-             - jnp.einsum("mab,mb->ma", Q, ro))
-    x = jnp.einsum("mab,mb->ma", B1_inv, r)            # (1, 6)
+            [jnp.zeros((6, 1), r.dtype), ro[:, :-1]], axis=1)
+        r = re - _bm_mv(P, ro_prev) - _bm_mv(Q, ro)
+    x = _bm_mv(B1_inv, r)                      # (6, 1)
     for (P, Q, Bo_inv, Ao, Ae), ro in zip(reversed(levels),
                                           reversed(ros)):
-        xe = x                                          # (n/2, 6)
+        xe = x                                 # (6, n/2)
         xe_next = jnp.concatenate(
-            [xe[1:], jnp.zeros((1, 6), x.dtype)])
+            [xe[:, 1:], jnp.zeros((6, 1), x.dtype)], axis=1)
         Ae_next = jnp.concatenate(
-            [Ae[1:], jnp.zeros((1, 6, 6), x.dtype)])
-        t = (ro - jnp.einsum("mab,mb->ma", Ao, xe)
-             - jnp.einsum("mba,mb->ma", Ae_next, xe_next))
-        xo = jnp.einsum("mab,mb->ma", Bo_inv, t)
-        x = jnp.stack([xe, xo], axis=1).reshape(-1, 6)
-    return x[:K]
+            [Ae[:, :, 1:], jnp.zeros((6, 6, 1), x.dtype)], axis=2)
+        t = ro - _bm_mv(Ao, xe) - _bm_mv_t(Ae_next, xe_next)
+        xo = _bm_mv(Bo_inv, t)
+        x = jnp.stack([xe, xo], axis=2).reshape(6, -1)
+    return x[:, :K].T
 
 
 def chain_preconditioner(g: FactorGraph, Ai: Array, Aj: Array, D: Array,
@@ -335,8 +396,8 @@ def optimize_poses(poses: Array, node_count: Array, g: FactorGraph,
             poses = carry
             r, Ai, Aj = _factor_blocks(poses, g)
             grad = jnp.zeros((K, 6), poses.dtype)
-            grad = grad.at[g.i].add(jnp.einsum("fab,fa->fb", Ai, r))
-            grad = grad.at[g.j].add(jnp.einsum("fab,fa->fb", Aj, r))
+            grad = grad.at[g.i].add(_bmv_t(Ai, r))
+            grad = grad.at[g.j].add(_bmv_t(Aj, r))
             r0 = (poses[0] - g.prior) * jnp.sqrt(prior_w2)
             grad = grad.at[0].add(jnp.sqrt(prior_w2) * r0)
 
