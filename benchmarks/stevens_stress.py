@@ -106,7 +106,14 @@ def run_pass(eps, verbose=False):
     for c0 in range(0, n, chunk):
         tc = time.time()
         x, v, tt = chunk_inputs(xb, vb=valid_b, c0=jnp.int32(c0))
-        state, outs = replay_from(state, x, v, tt, cfg)
+        if os.environ.get("BENCH_PROFILE") and c0 == chunk:
+            # profile the SECOND chunk (steady state, closures firing)
+            with jax.profiler.trace(os.environ["BENCH_PROFILE"],
+                                    create_perfetto_trace=True):
+                state, outs = replay_from(state, x, v, tt, cfg)
+                np.asarray(outs["fused"][-1])
+        else:
+            state, outs = replay_from(state, x, v, tt, cfg)
         # sync EVERY chunk: the axon tunnel returns at enqueue, so an
         # unsynced loop queues all n/chunk chunks at once and their
         # ~0.8 GB inputs coexist on device — measured worker crash
@@ -131,13 +138,18 @@ def run_pass(eps, verbose=False):
 t0 = time.time()
 chunk_times, final, outs = run_pass(0.0, verbose=True)
 print(f"compile+run: {time.time()-t0:.0f}s ({n} scans, chunk={chunk})")
-steady_scans = n - chunk
-dt = sum(chunk_times[1:]) if len(chunk_times) > 1 else chunk_times[0]
-if len(chunk_times) == 1:
-    steady_scans = n
-print(f"steady: {steady_scans/dt:.1f} scans/s "
-      f"(chunks 2..{len(chunk_times)}; chunk 1 = compile)")
-n_eff = steady_scans
+if len(chunk_times) > 1:
+    # MEDIAN chunk rate: the axon tunnel occasionally stalls one chunk
+    # for minutes (measured 290 s amid 24.7 s siblings) — a mean would
+    # report the tunnel hiccup, not the engine
+    dt = float(np.median(chunk_times[1:]))
+    n_eff = chunk
+else:
+    dt = chunk_times[0]
+    n_eff = n
+print(f"steady: {n_eff/dt:.1f} scans/s (median of chunks "
+      f"2..{len(chunk_times)}; chunk 1 = compile; all: "
+      f"{[round(c, 1) for c in chunk_times]})")
 
 kf = int(final.mapping.store.count)
 fc = int(final.mapping.factor_count)
@@ -181,8 +193,10 @@ if out_path:
             "n_scans": n, "seed": seed, "kf_cap": kf_cap,
             "loop_closure": bool(cfg.mapping.enable_loop_closure),
             "scans_per_sec": round(n_eff / dt, 1),
-            "timing": "steady rate over chunks 2..N of one pass "
-                      "(chunk 1 absorbs the compile)",
+            "timing": "median-chunk steady rate of one pass (chunk 1 "
+                      "absorbs the compile; median tolerates one-off "
+                      "axon tunnel stalls)",
+            "chunk_seconds": [round(c, 1) for c in chunk_times],
             "keyframes": kf, "factors": fc,
             "loop_factors": fc - (kf - 1),
             "kf_dropped": kf_drop, "factor_dropped": f_drop,

@@ -202,6 +202,42 @@ def _bm_mv_t(a: Array, v: Array) -> Array:
     return jnp.sum(a * v[:, None, :], axis=0)
 
 
+def _bm_inv6(B: Array) -> Array:
+    """Inverse of SPD 6×6 blocks in batch-minor layout (6, 6, n).
+
+    Unrolled Cholesky → triangular inverse → Mᵀ M, all as (n,)-vector
+    elementwise ops on the lanes.  Replaces ``jnp.linalg.inv``'s LU
+    custom-call, which cost ~12 ms per cyclic-reduction factorization
+    at K=4096 (plus two layout transposes) and ran on every GN step of
+    every loop closure.  SPD is guaranteed here: the CR Schur
+    complements of an SPD block-tridiagonal stay SPD, and the dead-node
+    blocks are identity."""
+    L = [[None] * 6 for _ in range(6)]
+    for j in range(6):
+        d = B[j, j] - sum(L[j][k] * L[j][k] for k in range(j))
+        L[j][j] = jnp.sqrt(jnp.maximum(d, 1e-30))
+        inv_d = 1.0 / L[j][j]
+        for i in range(j + 1, 6):
+            L[i][j] = (B[i, j] - sum(L[i][k] * L[j][k]
+                                     for k in range(j))) * inv_d
+    # M = L⁻¹ by forward substitution
+    M = [[None] * 6 for _ in range(6)]
+    for j in range(6):
+        M[j][j] = 1.0 / L[j][j]
+        for i in range(j + 1, 6):
+            M[i][j] = -sum(L[i][k] * M[k][j]
+                           for k in range(j, i)) / L[i][i]
+    # B⁻¹ = Mᵀ M (M lower-triangular: sum over k ≥ max(i, j))
+    rows = []
+    for i in range(6):
+        cols = []
+        for j in range(6):
+            lo = max(i, j)
+            cols.append(sum(M[k][i] * M[k][j] for k in range(lo, 6)))
+        rows.append(jnp.stack(cols))
+    return jnp.stack(rows)
+
+
 def _chain_subdiag(g: FactorGraph, Ai: Array, Aj: Array, K: int) -> Array:
     """Sub-diagonal blocks of H restricted to chain factors:
     ``A[k] = H[k, k−1]`` summed over factors with ``|i−j| == 1``.
@@ -262,8 +298,7 @@ def _cr_factor(A: Array, B: Array):
     while n > 1:
         Ae, Ao = A[:, :, 0::2], A[:, :, 1::2]      # (6, 6, n/2)
         Be, Bo = B[:, :, 0::2], B[:, :, 1::2]
-        Bo_inv = jnp.transpose(jnp.linalg.inv(
-            jnp.transpose(Bo, (2, 0, 1))), (1, 2, 0))
+        Bo_inv = _bm_inv6(Bo)
         # P[m] = A_{2m} B_{2m−1}⁻¹ (0 for m = 0: A_0 = 0)
         P = jnp.concatenate([
             jnp.zeros((6, 6, 1), A.dtype),
@@ -277,9 +312,7 @@ def _cr_factor(A: Array, B: Array):
         levels.append((P, Q, Bo_inv, Ao, Ae))
         A, B = A_new, B_new
         n //= 2
-    B1_inv = jnp.transpose(jnp.linalg.inv(
-        jnp.transpose(B, (2, 0, 1))), (1, 2, 0))
-    return levels, B1_inv                      # (6, 6, 1)
+    return levels, _bm_inv6(B)                 # (6, 6, 1)
 
 
 def _cr_solve(levels, B1_inv: Array, r: Array) -> Array:

@@ -268,6 +268,10 @@ def mapping_step(meta: MappingMeta, clouds: KeyframeClouds,
         # [attempted, accepted, fitness, corr_trans, corr_rot,
         #  old_idx, latest_idx, 0]
         corr_rel = se3.relative(pose, res["corrected_pose"])
+        do_relin = (
+            (jnp.linalg.norm(corr_rel[3:]) > m.loop_relin_trans)
+            | (jnp.max(jnp.abs(corr_rel[:3]))
+               > jnp.deg2rad(m.loop_relin_rot_deg)))
         diag = jnp.stack([
             jnp.float32(1.0),
             res["found"].astype(jnp.float32),
@@ -276,7 +280,7 @@ def mapping_step(meta: MappingMeta, clouds: KeyframeClouds,
             jnp.max(jnp.abs(corr_rel[:3])),
             res["old_idx"].astype(jnp.float32),
             res["latest_idx"].astype(jnp.float32),
-            jnp.float32(0.0)])
+            (res["found"] & do_relin).astype(jnp.float32)])
 
         def closed(kf_pose_a, grid, graph, fcount, fdrop, aft):
             w = jnp.full((6,), 1.0 / jnp.sqrt(
@@ -285,35 +289,47 @@ def mapping_step(meta: MappingMeta, clouds: KeyframeClouds,
             graph, fcount = add_factor(
                 graph, fcount, res["latest_idx"], res["old_idx"],
                 res["z"], w)
-            # correctPoses (:1481-1511): full re-solve + pose rewrite.
-            # The cyclic-reduction chain preconditioner (posegraph.py)
-            # solves the stiff odometry chain EXACTLY, leaving PCG only
-            # the low-rank loop-factor perturbation — a handful of
-            # iterations regardless of chain length (block-Jacobi needed
-            # 384+ on a 420-node chain and still hadn't converged).
-            # Warm-started from the current poses the solve is
-            # incremental (iSAM2's role): 2-3 GN steps suffice, and the
-            # PCG's relative-tolerance exit keeps re-solves cheap.
-            old_latest = kf_pose_a[res["latest_idx"]]
-            if mesh is not None:
-                new_poses = optimize_poses_sharded(
-                    kf_pose_a, kf_count, graph, mesh, axis=pgo_axis,
-                    gn_iters=3, pcg_iters=64)
-            else:
-                new_poses = optimize_poses(kf_pose_a, kf_count, graph,
-                                           gn_iters=3, pcg_iters=64)
-            # carry the correction onto the CURRENT pose (which may be up
-            # to keyframe_distance ahead of the last keyframe)
-            corr = se3.compose(new_poses[res["latest_idx"]],
-                               se3.inverse(old_latest))
-            aft = se3.normalize_angles(se3.compose(corr, aft))
-            # the world-frame submap grid is stale after the rewrite —
-            # re-scatter it under the corrected poses (the reference
-            # clears its transformed-cloud cache here, :1497)
-            grid = submap_grid.rebuild(
-                new_poses, kf_count, clouds, cfg,
-                window=m.surrounding_keyframe_search_num)
-            return new_poses, grid, graph, fcount, fdrop, aft
+
+            # correctPoses (:1481-1511) — thresholded like iSAM2
+            # itself (config.py::loop_relin_trans): the factor is in
+            # the graph above unconditionally; the full GN re-solve +
+            # pose rewrite + grid rebuild runs only when the ICP
+            # correction exceeds the relinearization threshold.
+            def relin(kf_pose_a, grid, aft):
+                # The cyclic-reduction chain preconditioner
+                # (posegraph.py) solves the stiff odometry chain
+                # EXACTLY, leaving PCG only the low-rank loop-factor
+                # perturbation — a handful of iterations regardless of
+                # chain length.  Warm-started from the current poses
+                # the solve is incremental (iSAM2's role): 2-3 GN
+                # steps suffice.
+                old_latest = kf_pose_a[res["latest_idx"]]
+                if mesh is not None:
+                    new_poses = optimize_poses_sharded(
+                        kf_pose_a, kf_count, graph, mesh,
+                        axis=pgo_axis, gn_iters=3, pcg_iters=64)
+                else:
+                    new_poses = optimize_poses(
+                        kf_pose_a, kf_count, graph,
+                        gn_iters=3, pcg_iters=64)
+                # carry the correction onto the CURRENT pose (which may
+                # be up to keyframe_distance ahead of the last keyframe)
+                corr = se3.compose(new_poses[res["latest_idx"]],
+                                   se3.inverse(old_latest))
+                aft = se3.normalize_angles(se3.compose(corr, aft))
+                # the world-frame submap grid is stale after the
+                # rewrite — re-scatter it under the corrected poses
+                # (the reference clears its transformed-cloud cache
+                # here, :1497)
+                grid = submap_grid.rebuild(
+                    new_poses, kf_count, clouds, cfg,
+                    window=m.surrounding_keyframe_search_num)
+                return new_poses, grid, aft
+
+            kf_pose_a, grid, aft = jax.lax.cond(
+                do_relin, relin, lambda p, gr, a: (p, gr, a),
+                kf_pose_a, grid, aft)
+            return kf_pose_a, grid, graph, fcount, fdrop, aft
 
         p, gr, g, f, d, a = jax.lax.cond(
             res["found"], closed,

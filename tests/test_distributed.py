@@ -88,8 +88,10 @@ def test_sharded_pcg_early_exit_stiff_chain():
     out, out_it = optimize_poses_sharded(poses, n, g, mesh, axis="pgo",
                                          gn_iters=3, pcg_iters=64,
                                          return_iters=True)
+    # 5 mm absolute on a 125 m chain: psum reduction order shifts the
+    # PCG trajectory a hair vs the sequential scatter-add
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=1e-3, atol=1e-3)
+                               rtol=1e-3, atol=5e-3)
     ref_it = np.asarray(ref_it)
     out_it = np.asarray(out_it)
     # chain preconditioner ⇒ early exit on every GN step, both paths
