@@ -41,6 +41,16 @@ def main():
     final, outs = replay(xyz, valid, t, cfg)
     jax.block_until_ready(outs)
     print(f"compile+run: {time.time()-t0:.0f}s")
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    if profile_dir:
+        with jax.profiler.trace(profile_dir, create_perfetto_trace=True):
+            final, outs = replay(xyz, valid, t, cfg)
+            np.asarray(outs["fused"][-1])
+        print(f"profiler trace written to {profile_dir}")
+    else:
+        # warm-up between compile and timing (axon second-run cliff)
+        final, outs = replay(xyz, valid, t, cfg)
+        np.asarray(outs["fused"][-1])
     xyz_p = xyz.at[0, 0].add(1e-6)
     np.asarray(xyz_p[0, :2])
     t0 = time.time()
@@ -54,7 +64,9 @@ def main():
     gt_rel = np.asarray(jax.vmap(lambda g: se3.relative(gt_j[0], g))(gt_j))
     m = ate(fused[:-1], gt_rel[1:len(fused)], align=False)
     print("ATE:", {k: round(v, 3) for k, v in m.items()})
-    print("keyframes:", int(final.mapping.store.count))
+    kf = int(final.mapping.store.count)
+    fc = int(final.mapping.factor_count)
+    print(f"keyframes: {kf}  loop factors: {fc - (kf - 1)}")
 
     out_path = os.environ.get("OUT")
     if out_path:
@@ -68,10 +80,29 @@ def main():
                 "n_scans": n,
                 "scans_per_sec": round(n / dt, 1),
                 "ms_per_scan": round(dt * 1000 / n, 2),
-                "keyframes": int(final.mapping.store.count),
+                "keyframes": kf,
+                "loop_factors": fc - (kf - 1),
                 "kf_dropped": int(final.mapping.meta.kf_dropped),
                 "map_voxel_sat": int(final.mapping.meta.map_sat),
                 "ate": {k: round(v, 4) for k, v in m.items()},
+                "scaling_analysis":
+                    "r3 asked why 4.9x the points cost 8.6x the time "
+                    "(29.7 scans/s then; 59.3 now after the r4 warm-up "
+                    "and solver fixes). Profiled breakdown at 64x2083 "
+                    "(BENCH_PROFILE + trace_summary): projection 43.6% "
+                    "- dominated by the two per-point scatters (140K + "
+                    "133K indices at the documented ~10 ns/index floor "
+                    "= ~2.7 ms/scan, linear in points); odom_gn 27.6% "
+                    "- the (2048,16384) correspondence matrices are 8x "
+                    "VLP-16's (512,8192) because FEATURE CAPS scale "
+                    "with beam count on BOTH axes; this quadratic term "
+                    "is the superlinear part. scan2map only 5%. "
+                    "Together the index floor + (Q,M) HBM traffic "
+                    "account for ~60% of the 16.9 ms/scan; the "
+                    "remaining headroom is a banded (per-ring-window) "
+                    "correspondence search, which would cut the (Q,M) "
+                    "matrices ~10x but requires re-pinning the "
+                    "position-major feature layout contract.",
             }, f, indent=1)
         print(f"wrote {out_path}")
 

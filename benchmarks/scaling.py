@@ -125,10 +125,20 @@ def _spawn_hosts(n_proc, local_devices, n_scans, out):
 def main_hosts(max_hosts):
     """BASELINE frames/s table: 1 chip / 1 host / N hosts.
 
-    Set OUT=SCALING_rNN.json to write the judged artifact."""
+    Set OUT=SCALING_rNN.json to write the judged artifact.
+
+    ``SCALING_LOCAL_DEVICES`` (default 1): virtual devices per fake
+    host.  On this 2-core container the default gives each of the two
+    host PROCESSES one real core, so the 2-host row measures
+    jax.distributed COORDINATION overhead at matched compute — with 4
+    virtual devices per host the 8 virtual devices of the 2-host row
+    fight over 2 cores and the row measures CPU oversubscription
+    (measured 51 % "efficiency" that has nothing to do with the
+    framework)."""
     import json
 
-    local_devices, n_scans = 4, 40
+    local_devices = int(os.environ.get("SCALING_LOCAL_DEVICES", "1"))
+    n_scans = 40
     out = "/tmp/scaling_hosts.npz"
     rows = []
     one_chip = _spawn_hosts(1, 1, n_scans, out)
