@@ -15,6 +15,15 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent XLA compilation cache: the fast suite's wall time is
+# dominated by COMPILES of the full-pipeline replay at several configs,
+# duplicated per xdist worker and per run.  The cache is keyed on the
+# HLO hash, so code changes invalidate exactly the affected entries;
+# warm reruns drop from ~25 min to minutes.
+_cache = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
