@@ -53,6 +53,15 @@ def main():
         import dataclasses
         cfg = cfg.replace(mapping=dataclasses.replace(
             cfg.mapping, enable_loop_closure=False))
+    elif variant == "odom_only":
+        # BASELINE.json config 3 / SURVEY §7 "minimum slice": odometry
+        # every scan, mapping skipped entirely — the raw scan-to-scan
+        # drift regime.  ATE here is pure integrated odometry (no
+        # map anchor, no loop closure), so expect it well above the
+        # full-pipeline number.
+        import dataclasses
+        cfg = cfg.replace(pipeline=dataclasses.replace(
+            cfg.pipeline, odometry_only=True))
     log(f"backend: {jax.default_backend()}  devices: {jax.devices()}"
         + (f"  variant={variant}" if variant else ""))
 
@@ -172,6 +181,22 @@ def main():
     metric = "scans_per_sec_per_chip_full_pipeline"
     if variant:
         metric += f"_{variant}"
+    out_path = os.environ.get("BENCH_OUT", "")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump({
+                "benchmark": f"bench{('_' + variant) if variant else ''}",
+                "backend": jax.default_backend(),
+                "n_scans": n_scans,
+                "scans_per_sec": round(scans_per_sec, 1),
+                "ms_per_scan": round(dt * 1000 / n_scans, 2),
+                "keyframes": kf,
+                "loop_factors": max(fc - kf + 1, 0),
+                "kf_dropped": int(final_state.mapping.meta.kf_dropped),
+                "map_voxel_sat": int(final_state.mapping.meta.map_sat),
+                "ate": {k: round(float(v), 4) for k, v in m.items()},
+            }, f, indent=1)
+        log(f"wrote {out_path}")
     print(json.dumps({
         "metric": metric,
         "value": round(scans_per_sec, 2),

@@ -120,6 +120,15 @@ class FeatureConfig:
     # trajectory.
     odom_max_delta_trans: float = 0.1
     odom_max_delta_rot: float = 0.05
+    # Banded correspondence search (match/banded.py): 0 = exact full
+    # (Q, M) matrix; B > 0 restricts each query's candidates to ±B rings
+    # around its own beam, cutting the odometry distance matrices ~V/(2B+1)
+    # ×.  The reference's own j2/j3 windows are ±2.5 rings around the
+    # 1-NN, so B ≥ 4 covers every reachable correspondence unless the
+    # 1-NN itself sits > B−3 rings off the query's beam (sub-permille at
+    # HDL-64 geometry).  Pays off when V is large: default ON for the
+    # 64-beam config, OFF (exact) for VLP-16 where V/(2B+1) < 2.
+    odom_band_rings: int = 0
     # fixed capacities for masked arrays
     max_sharp: int = 256                       # 2*6*16=192 rounded up
     max_less_sharp: int = 2048                 # 20*6*16=1920 rounded up
@@ -314,6 +323,7 @@ def hdl64() -> LegoLoamConfig:
             max_less_sharp=8192,     # 20·6·64 = 7680
             max_flat=2048,           # 4·6·64 = 1536
             max_less_flat=16384,     # 256 per ring post-downsample
+            odom_band_rings=4,       # banded search: (Q,M) cut ~7×
         ),
         pipeline=PipelineConfig(max_points=140032, max_segmented=65536),
     )

@@ -65,8 +65,11 @@ def default_world(seed: int = 0, path_xy: Optional[np.ndarray] = None,
         return d >= margin + r_obj
 
     def place(border, lim, push, r_obj):
-        """Draw until the object clears the path (deterministic rng);
-        the legacy origin-box nudge keeps path-free worlds identical."""
+        """Draw until the object clears the path (deterministic rng).
+        Note: the rng draw ORDER (half-dims before center, since the
+        clearance test needs the object radius) pins the sampled world;
+        path-free worlds are deterministic per seed but not identical
+        to pre-r4 worlds."""
         cx = cy = 1.0
         for _ in range(64):
             cx, cy = rng.uniform(-L + border, L - border, 2)
@@ -367,7 +370,9 @@ def make_sequence(n_scans: int, cfg: Optional[LegoLoamConfig] = None,
     # default_world) — including the part a short prefix would miss, so
     # the same (seed, trajectory family) always yields the same world
     # regardless of n_scans (sequences of different lengths stay
-    # prefix-consistent)
+    # prefix-consistent).  Exception: "aggressive" runs LONGER than 400
+    # scans extend the clearance footprint with n_scans, so their worlds
+    # (and hence sequences) are only prefix-consistent up to 400 scans.
     if trajectory == "figure8":
         full, _, _ = figure_eight_trajectory(
             700, scan_period=cfg.laser.scan_period)

@@ -170,18 +170,25 @@ def detect_and_verify(store: KeyframeStore, row, cur_stamp: Array,
         # fitness is meaningless.  tests/test_loop.py::
         # test_low_overlap_deceptive_fitness_rejected shows the concrete
         # false-accept this guards against.
-        ok = (fitness < m.history_keyframe_fitness_score) \
-            & (n_corr > 100) & rot_ok & trans_ok
+        fit_ok = (fitness < m.history_keyframe_fitness_score) \
+            & (n_corr > 100)
+        ok = fit_ok & rot_ok & trans_ok
+        # observable failure mode (ADVICE r4): a closure that passed the
+        # fitness gate but was rejected as implausible means drift since
+        # the anchor exceeded the fixed caps — surfaced in loop_diag so
+        # a silently-disabled loop closure can be diagnosed post-run
+        implausible = fit_ok & ~(rot_ok & trans_ok)
         corrected = se3.compose(corr, cur_pose)
         z = se3.relative(corrected, store.pose[old_idx])
-        return ok, z, fitness, corrected, hist_sat
+        return ok, z, fitness, corrected, corr, implausible, hist_sat
 
     def skip():
         return (jnp.bool_(False), jnp.zeros((6,), jnp.float32),
-                jnp.float32(1e9), cur_pose, jnp.int32(0))
+                jnp.float32(1e9), cur_pose, jnp.zeros((6,), jnp.float32),
+                jnp.bool_(False), jnp.int32(0))
 
-    ok, z, fitness, corrected, hist_sat = jax.lax.cond(found, attempt,
-                                                       skip)
+    (ok, z, fitness, corrected, corr, implausible,
+     hist_sat) = jax.lax.cond(found, attempt, skip)
     return {
         "found": ok,
         "old_idx": old_idx,
@@ -189,6 +196,14 @@ def detect_and_verify(store: KeyframeStore, row, cur_stamp: Array,
         "z": z,
         "fitness": fitness,
         "corrected_pose": corrected,
+        # raw world-frame ICP correction (left factor: corrected_pose =
+        # corr ∘ latest_kf_pose) — THE quantity the plausibility gate
+        # thresholds; callers must gate/report on this, not on a
+        # world-frame pose difference (which conjugates the rotation
+        # through the pose and picks up |corr_rot|·|t| phantom
+        # translation — ADVICE r4 medium)
+        "corr": corr,
+        "implausible": implausible,
         # voxels truncated by loop_history_cap in the ICP target filter
         "sat": hist_sat,
     }

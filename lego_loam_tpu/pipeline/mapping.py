@@ -266,21 +266,33 @@ def mapping_step(meta: MappingMeta, clouds: KeyframeClouds,
         msat = msat + res["sat"]
         # per-attempt observability (threaded to replay outputs):
         # [attempted, accepted, fitness, corr_trans, corr_rot,
-        #  old_idx, latest_idx, 0]
-        corr_rel = se3.relative(pose, res["corrected_pose"])
+        #  old_idx, latest_idx, relin_or_implausible]
+        # The gate measures the RAW ICP correction in the latest
+        # keyframe's frame (res["corr"]; corrected = corr ∘ kf_pose) —
+        # a world-frame pose difference would conjugate the rotation
+        # through the pose and pick up a phantom |corr_rot|·|t_pose|
+        # translation (~0.4 m at 50 m for 0.5°, vs the 0.1 m
+        # threshold), triggering position-dependent spurious re-solves
+        # (ADVICE r4 medium).
+        corr = res["corr"]
         do_relin = (
-            (jnp.linalg.norm(corr_rel[3:]) > m.loop_relin_trans)
-            | (jnp.max(jnp.abs(corr_rel[:3]))
+            (jnp.linalg.norm(corr[3:]) > m.loop_relin_trans)
+            | (jnp.max(jnp.abs(corr[:3]))
                > jnp.deg2rad(m.loop_relin_rot_deg)))
         diag = jnp.stack([
             jnp.float32(1.0),
             res["found"].astype(jnp.float32),
             jnp.minimum(res["fitness"], 1e6),
-            jnp.linalg.norm(corr_rel[3:]),
-            jnp.max(jnp.abs(corr_rel[:3])),
+            jnp.linalg.norm(corr[3:]),
+            jnp.max(jnp.abs(corr[:3])),
             res["old_idx"].astype(jnp.float32),
             res["latest_idx"].astype(jnp.float32),
-            (res["found"] & do_relin).astype(jnp.float32)])
+            # +1 = accepted closure will re-solve; −1 = closure passed
+            # the fitness gate but was REJECTED as implausible (drift
+            # outside the fixed caps — loop closure silently disabled,
+            # ADVICE r4 low)
+            (res["found"] & do_relin).astype(jnp.float32)
+            - res["implausible"].astype(jnp.float32)])
 
         def closed(kf_pose_a, grid, graph, fcount, fdrop, aft):
             w = jnp.full((6,), 1.0 / jnp.sqrt(

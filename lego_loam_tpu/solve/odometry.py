@@ -37,6 +37,7 @@ from flax import struct
 from ..core import se3
 from ..core.config import LegoLoamConfig
 from ..core.types import FeatureCloud
+from ..match import banded
 from ..match.bruteforce import (masked_nn, nn_in_ring_window,
                                 pairwise_sqdist)
 
@@ -102,6 +103,106 @@ def _search_surf(theta, flat: FeatureCloud, last: FeatureCloud,
     n = jnp.cross(b - a, c - a)
     n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1), 1e-12)[..., None]
     return _Corr(a=a, u=n, ok=ok)
+
+
+def _masked_centroid(xyz: Array, valid: Array) -> Array:
+    n = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+    return jnp.sum(jnp.where(valid[:, None], xyz, 0.0), axis=0) / n
+
+
+def _make_search_surf_banded(cand: "banded.BandedCandidates", V: int,
+                             qc: int):
+    """Banded variant of :func:`_search_surf` (same ±2.5-ring j2/j3
+    semantics, ``featureAssociation.cpp:640-733``) over per-ring blocks —
+    the (Q, M) matrix becomes (V, qc, (2B+1)·cc), ~10× smaller at HDL-64
+    (``match/banded.py`` has the layout story).  Absolute 5 m gates are
+    EXACT here (difference-first recompute on the winners)."""
+
+    def search(theta, flat: FeatureCloud, last, cfg) -> _Corr:
+        del last
+        f = cfg.feature
+        max_d2 = f.nearest_feature_search_dist ** 2
+        x = deskew_to_start(theta, flat.xyz, flat.rel_time)
+        center = _masked_centroid(x, flat.valid)
+        xq = x.reshape(V, qc, 3)
+        okq = flat.valid.reshape(V, qc)
+
+        d2 = banded.banded_sqdist(xq, center, cand)       # (V, qc, Wc)
+        okc = cand.valid[:, None, :]
+        j1, _ = banded.masked_argmin(d2, okc)
+        a = banded.gather_band(cand, j1)                  # (V, qc, 3)
+        dist1 = banded.exact_sqdist_to(xq, a)
+        ok1 = (dist1 < max_d2) & okq
+
+        rc = jnp.floor(cand.ring)[:, None, :]             # (V, 1, Wc)
+        r1 = jnp.floor(jnp.take_along_axis(cand.ring, j1, axis=1))
+        not_j1 = (jnp.arange(d2.shape[-1])[None, None, :]
+                  != j1[..., None])
+        win2 = (rc >= r1[..., None] - f.ring_window) & (rc <= r1[..., None])
+        win3 = ((rc >= r1[..., None] + 1.0e-3)
+                & (rc <= r1[..., None] + f.ring_window))
+        j2, _ = banded.masked_argmin(d2, okc & win2 & not_j1)
+        j3, _ = banded.masked_argmin(d2, okc & win3 & not_j1)
+        b = banded.gather_band(cand, j2)
+        c = banded.gather_band(cand, j3)
+        dist2 = banded.exact_sqdist_to(xq, b)
+        dist3 = banded.exact_sqdist_to(xq, c)
+        # a window with no valid candidate returns an arbitrary row whose
+        # exact distance then fails the 5 m gate — but guard the fully
+        # empty band explicitly (masked_argmin picks col 0 of a valid
+        # neighbour ring otherwise? no: mask includes cand.valid)
+        has2 = jnp.any(okc & win2 & not_j1, axis=-1)
+        has3 = jnp.any(okc & win3 & not_j1, axis=-1)
+        ok = (ok1 & has2 & has3
+              & (dist2 < max_d2) & (dist3 < max_d2))
+
+        n = jnp.cross(b - a, c - a)
+        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1), 1e-12)[..., None]
+        return _Corr(a=a.reshape(-1, 3), u=n.reshape(-1, 3),
+                     ok=ok.reshape(-1))
+
+    return search
+
+
+def _make_search_corner_banded(cand: "banded.BandedCandidates", V: int,
+                               qc: int):
+    """Banded variant of :func:`_search_corner`
+    (``featureAssociation.cpp:503-569``): 1-NN + nearest point in a
+    *different* ring within ±2.5, over per-ring blocks."""
+
+    def search(theta, sharp: FeatureCloud, last, cfg) -> _Corr:
+        del last
+        f = cfg.feature
+        max_d2 = f.nearest_feature_search_dist ** 2
+        x = deskew_to_start(theta, sharp.xyz, sharp.rel_time)
+        center = _masked_centroid(x, sharp.valid)
+        xq = x.reshape(V, qc, 3)
+        okq = sharp.valid.reshape(V, qc)
+
+        d2 = banded.banded_sqdist(xq, center, cand)
+        okc = cand.valid[:, None, :]
+        j1, _ = banded.masked_argmin(d2, okc)
+        a = banded.gather_band(cand, j1)
+        dist1 = banded.exact_sqdist_to(xq, a)
+        ok1 = (dist1 < max_d2) & okq
+
+        rc = jnp.floor(cand.ring)[:, None, :]
+        r1 = jnp.floor(jnp.take_along_axis(cand.ring, j1, axis=1))
+        win = ((rc >= r1[..., None] - f.ring_window)
+               & (rc <= r1[..., None] + f.ring_window)
+               & (rc != r1[..., None]))
+        j2, _ = banded.masked_argmin(d2, okc & win)
+        b = banded.gather_band(cand, j2)
+        dist2 = banded.exact_sqdist_to(xq, b)
+        has2 = jnp.any(okc & win, axis=-1)
+        ok = ok1 & has2 & (dist2 < max_d2)
+
+        u = b - a
+        u = u / jnp.maximum(jnp.linalg.norm(u, axis=-1), 1e-12)[..., None]
+        return _Corr(a=a.reshape(-1, 3), u=u.reshape(-1, 3),
+                     ok=ok.reshape(-1))
+
+    return search
 
 
 def _search_corner(theta, sharp: FeatureCloud, last: FeatureCloud,
@@ -257,12 +358,38 @@ def two_step_odometry(theta0: Array, sharp: FeatureCloud,
     enough = ((last_corner.count >= f.min_corner_features)
               & (last_surf.count >= f.min_surf_features))
 
+    if f.odom_band_rings > 0:
+        # banded per-ring-window search (match/banded.py): re-block the
+        # query pick clouds and band the candidate clouds ONCE — all
+        # θ-independent — then run the same GN phases over the blocked
+        # layouts.  GN sums are order-invariant, so only the
+        # correspondence CANDIDATE set differs from the full search
+        # (far-ring 1-NNs outside ±B are dropped).
+        V = cfg.laser.num_vertical_scans
+        qc_flat = f.flat_per_sector * f.num_sectors
+        qc_sharp = f.sharp_per_sector * f.num_sectors
+        cc_corner = -(-(f.less_sharp_per_sector * f.num_sectors) // 8) * 8
+        flat_b = banded.ring_block(flat, V, qc_flat).as_cloud()
+        sharp_b = banded.ring_block(sharp, V, qc_sharp).as_cloud()
+        surf_band = banded.band(
+            banded.ring_block_from_layout(last_surf, V), f.odom_band_rings)
+        corner_band = banded.band(
+            banded.ring_block(last_corner, V, cc_corner),
+            f.odom_band_rings)
+        search_surf = _make_search_surf_banded(surf_band, V, qc_flat)
+        search_corner = _make_search_corner_banded(corner_band, V,
+                                                   qc_sharp)
+        flat_q, sharp_q = flat_b, sharp_b
+    else:
+        search_surf, search_corner = _search_surf, _search_corner
+        flat_q, sharp_q = flat, sharp
+
     def solve(theta0):
-        th = _gn_phase(theta0, _SURF_FREE, flat, last_surf,
-                       _search_surf, _surf_dist, "surf",
+        th = _gn_phase(theta0, _SURF_FREE, flat_q, last_surf,
+                       search_surf, _surf_dist, "surf",
                        f.odom_surf_iters, cfg)
-        th = _gn_phase(th, _CORNER_FREE, sharp, last_corner,
-                       _search_corner, _corner_dist, "corner",
+        th = _gn_phase(th, _CORNER_FREE, sharp_q, last_corner,
+                       search_corner, _corner_dist, "corner",
                        f.odom_corner_iters, cfg)
         return th
 

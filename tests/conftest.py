@@ -19,11 +19,14 @@ jax.config.update("jax_platforms", "cpu")
 # dominated by COMPILES of the full-pipeline replay at several configs,
 # duplicated per xdist worker and per run.  The cache is keyed on the
 # HLO hash, so code changes invalidate exactly the affected entries;
-# warm reruns drop from ~25 min to minutes.
-_cache = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _cache)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# warm reruns drop from ~25 min to minutes.  Host-fingerprinted dir +
+# no embedded XLA AOT payloads — see core/compile_cache.py for why.
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from lego_loam_tpu.core.compile_cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
