@@ -319,11 +319,26 @@ def hdl64() -> LegoLoamConfig:
             vertical_angle_top_deg=2.0,
         ),
         feature=FeatureConfig(
+            # Caps pinned to the r4-proven values BIT-EXACTLY: the
+            # current XLA:TPU toolchain miscompiles the HDL-64 pipeline
+            # into hardware-faulting kernels under seemingly benign
+            # shape changes (r5: 8192->3840 / 16384->8192 cap cuts and
+            # the banded layouts all crash the chip at execution;
+            # the r4 shapes are stable).  See odom_band_rings below.
             max_sharp=1024,          # 2·6·64 = 768
             max_less_sharp=8192,     # 20·6·64 = 7680
             max_flat=2048,           # 4·6·64 = 1536
             max_less_flat=16384,     # 256 per ring post-downsample
-            odom_band_rings=4,       # banded search: (Q,M) cut ~7×
+            # The banded (per-ring-window) search is implemented and
+            # CPU/standalone-TPU validated (match/banded.py,
+            # tests/test_banded.py) but ships OFF: inside the full
+            # pipeline's scan/cond nest the current XLA:TPU toolchain
+            # miscompiles it at HDL-64 shapes (r5, reproduced across
+            # many program permutations — band tensors hoisted or
+            # rebuilt, cond vs select first-frame, scatter vs gather
+            # re-blocking; standalone the same search runs fine).
+            # Flip to 4 for a ~7x (Q,M) cut when the toolchain moves.
+            odom_band_rings=0,
         ),
         pipeline=PipelineConfig(max_points=140032, max_segmented=65536),
     )

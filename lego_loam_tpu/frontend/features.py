@@ -165,6 +165,39 @@ def _cloud_from_picks(seg: SegmentedCloud, idxs: Array, have: Array,
         rel_time=jnp.where(ok, rel, 0.0), valid=ok)
 
 
+def _blocked_from_picks(seg: SegmentedCloud, idxs: Array, have: Array,
+                        capacity: int) -> FeatureCloud:
+    """Ring-BLOCKED variant of :func:`_cloud_from_picks` for the banded
+    odometry search (``match/banded.py``): ring v's picks land in rows
+    ``[v·cap, (v+1)·cap)`` with cap = capacity // V (= n_picks·sectors,
+    the per-ring pick maximum, so nothing truncates).  Within a ring,
+    picks are sorted by column position with invalids last — the same
+    within-ring order as the position-major compact layout, keeping kNN
+    tie-break order equivalent.  Built by pure per-ring argsort + gather
+    (no cross-ring scatter/compaction at all)."""
+    R, V, K = idxs.shape
+    S = seg.rng.shape[1]
+    cap = capacity // V
+    assert cap == R * K, (capacity, V, R, K)
+
+    idx_vr = jnp.swapaxes(idxs, 0, 1).reshape(V, R * K)     # (V, R*K)
+    ok_vr = jnp.swapaxes(have, 0, 1).reshape(V, R * K)
+    key = jnp.where(ok_vr, idx_vr, jnp.int32(2 ** 30))
+    order = jnp.argsort(key, axis=1)
+    idx_s = jnp.take_along_axis(idx_vr, order, axis=1)
+    ok_s = jnp.take_along_axis(ok_vr, order, axis=1)
+
+    rings = jax.lax.broadcasted_iota(jnp.int32, (V, R * K), 0)
+    flat = (rings * S + jnp.clip(idx_s, 0, S - 1)).reshape(-1)
+    ok = ok_s.reshape(-1)
+    xyz = seg.xyz.reshape(-1, 3)[flat]
+    rel = seg.rel_time.reshape(-1)[flat]
+    return FeatureCloud(
+        xyz=jnp.where(ok[:, None], xyz, 0.0),
+        ring=rings.reshape(-1).astype(jnp.float32),
+        rel_time=jnp.where(ok, rel, 0.0), valid=ok)
+
+
 @functools.partial(jax.jit, static_argnames="cfg")
 def extract_features(seg: SegmentedCloud, cfg: LegoLoamConfig) -> FeatureSet:
     """Full feature extraction (``extractFeatures``,
@@ -228,6 +261,20 @@ def extract_features(seg: SegmentedCloud, cfg: LegoLoamConfig) -> FeatureSet:
         rel_time=ds_payload[..., 1].reshape(-1),
         valid=ds_valid.reshape(-1))
 
+    if f.odom_band_rings > 0:
+        # banded odometry (match/banded.py): pick clouds ship ring-
+        # blocked so the solver re-views them for free; requires the
+        # capacities to be exactly V·picks·sectors (config invariant,
+        # asserted in _blocked_from_picks)
+        return FeatureSet(
+            sharp=_blocked_from_picks(seg,
+                                      corner_idx[:f.sharp_per_sector],
+                                      corner_has[:f.sharp_per_sector],
+                                      f.max_sharp),
+            less_sharp=_blocked_from_picks(seg, corner_idx, corner_has,
+                                           f.max_less_sharp),
+            flat=_blocked_from_picks(seg, flat_idx, flat_has, f.max_flat),
+            less_flat=less_flat)
     return FeatureSet(
         sharp=_cloud_from_picks(seg, corner_idx[:f.sharp_per_sector],
                                 corner_has[:f.sharp_per_sector],

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional
 
 import jax
@@ -95,7 +96,8 @@ def label_components(img: RangeImage, cfg: LegoLoamConfig):
     flat = jnp.arange(V * H, dtype=jnp.int32).reshape(V, H)
     labels0 = jnp.where(segmentable, flat, _SENTINEL)
 
-    if jax.default_backend() == "tpu":
+    if (jax.default_backend() == "tpu"
+            and os.environ.get("LEGO_LABEL_IMPL", "pallas") != "xla"):
         from .pallas_label import propagate_labels_pallas
 
         labels = propagate_labels_pallas(

@@ -95,21 +95,30 @@ def ring_block(cloud: FeatureCloud, num_rings: int, cap: int,
     else:
         order = jnp.argsort(seg * (N + 1) + jnp.arange(N))
         seg_s = seg[order]
-    start = jnp.searchsorted(seg_s, jnp.arange(num_rings + 1))
-    rank = jnp.arange(N) - start[seg_s]
-    dest = jnp.where((seg_s < num_rings) & (rank < cap),
-                     seg_s * cap + rank, num_rings * cap)
+    # run starts by comparison-count, NOT jnp.searchsorted: one (V+1, N)
+    # boolean reduce (trivial at these sizes) with a plain lowering
+    start = jnp.sum(seg_s[None, :] < jnp.arange(num_rings + 1)[:, None],
+                    axis=1, dtype=jnp.int32)
+    # GATHER-based re-blocking (no scatter): slot (r, k) reads row
+    # start[r]+k of the ring-sorted cloud, valid while it stays inside
+    # ring r's run.  Gathers are cheaper than scatters on TPU (~10 ns
+    # per index either way, but no serialization hazard), and the
+    # scatter formulation here triggered a hardware kernel fault inside
+    # the full-pipeline program at HDL-64 shapes (reproduced r5).
+    src = start[:num_rings, None] + jnp.arange(cap)[None, :]  # (V, cap)
+    in_run = src < start[1:, None]
+    src_flat = jnp.clip(src.reshape(-1), 0, N - 1)
 
     packed = jnp.concatenate(
         [cloud.xyz, cloud.ring[:, None], cloud.rel_time[:, None],
          cloud.valid[:, None].astype(jnp.float32)], axis=1)[order]
-    out = jnp.zeros((num_rings * cap, 6), packed.dtype).at[dest].set(
-        packed, mode="drop", unique_indices=True)
+    out = packed[src_flat]
+    valid = in_run & (out[:, 5] > 0.5).reshape(num_rings, cap)
     return RingBlocked(
         xyz=out[:, :3].reshape(num_rings, cap, 3),
         ring=out[:, 3].reshape(num_rings, cap),
         rel_time=out[:, 4].reshape(num_rings, cap),
-        valid=(out[:, 5] > 0.5).reshape(num_rings, cap))
+        valid=valid)
 
 
 def ring_block_from_layout(cloud: FeatureCloud, num_rings: int
@@ -149,21 +158,19 @@ def banded_sqdist(qxyz: Array, center: Array,
                   cand: BandedCandidates) -> Array:
     """(V, qc, 3) × (V, Wc, 3) → (V, qc, Wc) squared distances.
 
-    Same recentering + HIGH-precision rules as
-    ``bruteforce.pairwise_sqdist`` (see its docstring for the bf16
-    numbers); ``center`` is the global query centroid, passed in because
-    a per-block mean over mostly-padding rows would recenter poorly.
-    Rankings only — callers gate on exact difference-first recomputes.
+    DIFFERENCE-FIRST (exact f32 on the VPU), not the ``‖a‖²+‖b‖²−2a·b``
+    MXU expansion: banding already cut the matrix ~V/(2B+1)×, so the
+    remaining Q·Wc·3 elementwise work is tiny, and difference-first
+    sidesteps the bf16-truncation recentering dance entirely
+    (``bruteforce.pairwise_sqdist`` documents those numbers).  It also
+    avoids a batched HIGH-precision ``dot_general`` that faults the TPU
+    inside the full-pipeline program at HDL-64 shapes (hardware kernel
+    crash, reproduced r5; standalone the same op is fine).  ``center``
+    is kept for API compatibility but unused.
     """
-    a = qxyz - center
-    b = cand.xyz - center
-    a2 = jnp.sum(a * a, -1)[:, :, None]
-    b2 = jnp.sum(b * b, -1)[:, None, :]
-    cross = jax.lax.dot_general(
-        a, b, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGH)
-    return jnp.maximum(a2 + b2 - 2.0 * cross, 0.0)
+    del center
+    d = qxyz[:, :, None, :] - cand.xyz[:, None, :, :]
+    return jnp.sum(d * d, axis=-1)
 
 
 def exact_sqdist_to(qxyz: Array, picked_xyz: Array) -> Array:

@@ -359,30 +359,62 @@ def two_step_odometry(theta0: Array, sharp: FeatureCloud,
               & (last_surf.count >= f.min_surf_features))
 
     if f.odom_band_rings > 0:
-        # banded per-ring-window search (match/banded.py): re-block the
-        # query pick clouds and band the candidate clouds ONCE — all
-        # θ-independent — then run the same GN phases over the blocked
-        # layouts.  GN sums are order-invariant, so only the
-        # correspondence CANDIDATE set differs from the full search
-        # (far-ring 1-NNs outside ±B are dropped).
+        # banded per-ring-window search (match/banded.py): with
+        # odom_band_rings on, the frontend emits ALL pick clouds
+        # ring-blocked (``features._blocked_from_picks``; less_flat is
+        # blocked by construction), so the solver's re-layout cost is
+        # zero — queries and candidates alike are pure reshapes, then
+        # the candidate bands are static roll-concats.  GN sums are
+        # order-invariant, so only the correspondence CANDIDATE set
+        # differs from the full search (far-ring 1-NNs outside ±B are
+        # dropped).
         V = cfg.laser.num_vertical_scans
-        qc_flat = f.flat_per_sector * f.num_sectors
-        qc_sharp = f.sharp_per_sector * f.num_sectors
-        cc_corner = -(-(f.less_sharp_per_sector * f.num_sectors) // 8) * 8
-        flat_b = banded.ring_block(flat, V, qc_flat).as_cloud()
-        sharp_b = banded.ring_block(sharp, V, qc_sharp).as_cloud()
-        surf_band = banded.band(
-            banded.ring_block_from_layout(last_surf, V), f.odom_band_rings)
-        corner_band = banded.band(
-            banded.ring_block(last_corner, V, cc_corner),
-            f.odom_band_rings)
-        search_surf = _make_search_surf_banded(surf_band, V, qc_flat)
-        search_corner = _make_search_corner_banded(corner_band, V,
-                                                   qc_sharp)
-        flat_q, sharp_q = flat_b, sharp_b
-    else:
-        search_surf, search_corner = _search_surf, _search_corner
+        for c in (flat, sharp, last_corner, last_surf):
+            assert c.valid.shape[0] % V == 0, \
+                "banded odometry requires ring-blocked cloud capacities"
+        qc_flat = flat.valid.shape[0] // V
+        qc_sharp = sharp.valid.shape[0] // V
+
+        # The band tensors are built INSIDE the search closures (under
+        # the while-loop's reassociation cond), NOT hoisted as loop
+        # constants: carrying the roll-concat band through the
+        # cond-in-while-in-scan nest triggered an XLA:TPU codegen fault
+        # at HDL-64 shapes (hardware kernel crash, reproduced r5).
+        # Re-banding costs one ~2 MB concat per re-association — noise.
+        def search_surf(theta, flat_c, last, cfg):
+            sb = banded.band(banded.ring_block_from_layout(last, V),
+                             f.odom_band_rings)
+            return _make_search_surf_banded(sb, V, qc_flat)(
+                theta, flat_c, None, cfg)
+
+        def search_corner(theta, sharp_c, last, cfg):
+            cb = banded.band(banded.ring_block_from_layout(last, V),
+                             f.odom_band_rings)
+            return _make_search_corner_banded(cb, V, qc_sharp)(
+                theta, sharp_c, None, cfg)
+
         flat_q, sharp_q = flat, sharp
+
+        # No cond(enough) around the banded solve: the remaining
+        # data-dependent branch around this code inside `lax.scan` was
+        # part of the faulting pattern, and it is not needed for
+        # safety — with thin clouds every correspondence fails the 5 m
+        # gate, n_sel < min_selected zeroes the update, and NaN updates
+        # reset to 0 (:907-909 semantics), so the solve degenerates to
+        # the passthrough the cond would have taken.
+        def solve_banded(theta0):
+            th = _gn_phase(theta0, _SURF_FREE, flat_q, last_surf,
+                           search_surf, _surf_dist, "surf",
+                           f.odom_surf_iters, cfg)
+            th = _gn_phase(th, _CORNER_FREE, sharp_q, last_corner,
+                           search_corner, _corner_dist, "corner",
+                           f.odom_corner_iters, cfg)
+            return th
+
+        return jnp.where(enough, solve_banded(theta0), theta0)
+
+    search_surf, search_corner = _search_surf, _search_corner
+    flat_q, sharp_q = flat, sharp
 
     def solve(theta0):
         th = _gn_phase(theta0, _SURF_FREE, flat_q, last_surf,

@@ -113,18 +113,20 @@ def _recover(band_rings):
         feature=dataclasses.replace(cfg.feature, odom_band_rings=band_rings,
                                     max_less_flat=V * 64))
     f = cfg.feature
-    # last clouds: surf MUST be in the frontend's (V, cap) blocked layout
-    # (`ring_block_from_layout` re-views it), corner ring-ascending compact.
+    # with banding on, EVERY cloud ships ring-blocked at capacity // V
+    # per ring (the frontend's _blocked_from_picks layout; the solver
+    # just reshapes)
     last_surf = _cloud(surf, surf_ring, None, blocked_cap=64)
-    last_corner = _cloud(corner, cring, f.max_less_sharp)
+    last_corner = _cloud(corner, cring, None,
+                         blocked_cap=f.max_less_sharp // V)
     theta_true = jnp.asarray([0.01, -0.008, 0.03, 0.12, 0.05, 0.02],
                              jnp.float32)
     flat = _cloud(np.asarray(se3.apply_inverse(theta_true,
                                                jnp.asarray(surf))),
-                  surf_ring, f.max_flat)
+                  surf_ring, None, blocked_cap=f.max_flat // V)
     sharp = _cloud(np.asarray(se3.apply_inverse(theta_true,
                                                 jnp.asarray(corner))),
-                   cring, f.max_sharp)
+                   cring, None, blocked_cap=f.max_sharp // V)
     theta = two_step_odometry(jnp.zeros(6, jnp.float32), sharp, flat,
                               last_corner, last_surf, cfg)
     return np.asarray(theta), np.asarray(theta_true)

@@ -188,3 +188,43 @@ def test_voxel_downsample_saturation_semantics():
     got = np.asarray(out2)[np.asarray(ok2)]
     assert len(got) == 2
     np.testing.assert_allclose(sorted(got[:, 0]), [1.025, 5.0], atol=1e-6)
+
+
+def test_blocked_picks_match_compact_layout(proj_out):
+    """With odom_band_rings on, pick clouds ship RING-BLOCKED
+    (`_blocked_from_picks`): same pick SET as the compact layout, block
+    r holding exactly ring r's picks in ascending column order with
+    invalids last (the banded solver's layout contract,
+    `match/banded.py`)."""
+    import dataclasses
+
+    seg = proj_out.segmented
+    f = CFG.feature
+    V = CFG.laser.num_vertical_scans
+    cfg_b = CFG.replace(feature=dataclasses.replace(
+        f, odom_band_rings=4,
+        max_sharp=V * f.sharp_per_sector * f.num_sectors,
+        max_less_sharp=V * f.less_sharp_per_sector * f.num_sectors,
+        max_flat=V * f.flat_per_sector * f.num_sectors))
+    fs_c = extract_features(seg, CFG)
+    fs_b = extract_features(seg, cfg_b)
+
+    for fc, fb in ((fs_c.sharp, fs_b.sharp),
+                   (fs_c.less_sharp, fs_b.less_sharp),
+                   (fs_c.flat, fs_b.flat)):
+        cap = fb.valid.shape[0] // V
+        vb = np.asarray(fb.valid).reshape(V, cap)
+        xb = np.asarray(fb.xyz).reshape(V, cap, 3)
+        rb = np.asarray(fb.ring).reshape(V, cap)
+        vc = np.asarray(fc.valid)
+        xc = np.asarray(fc.xyz)[vc]
+        rc = np.asarray(fc.ring)[vc].astype(int)
+        assert int(vb.sum()) == len(xc)
+        for r in range(V):
+            # block r holds ring r's picks, valid-first
+            n = int(vb[r].sum())
+            assert vb[r, :n].all() and not vb[r, n:].any()
+            assert (rb[r, :n].astype(int) == r).all()
+            ours = xb[r, :n]
+            want = xc[rc == r]          # compact is position-major
+            np.testing.assert_allclose(ours, want, atol=0)
