@@ -59,6 +59,8 @@ def main():
     # contiguous; the 40 s stamp gap still exercises the loop-closure
     # time gate across sessions.
     n1, n2 = 314, 200
+    seed = int(os.environ.get("SEED", "3"))
+    cache = f"/tmp/multisession_{seed}.npz"
     if os.path.exists(cache):
         scans, gt, times = load_sequence(cache)
         scans1, scans2 = scans[:n1], scans[n1:]
@@ -66,7 +68,7 @@ def main():
         t1, t2 = times[:n1], times[n1:]
     else:
         (scans1, gt1, t1), (scans2, gt2, t2) = make_two_sessions(
-            n1, n2, cfg)
+            n1, n2, cfg, seed=seed)
         save_sequence(cache, scans1 + scans2,
                       np.concatenate([gt1, gt2]).astype(np.float32),
                       np.concatenate([t1, t2]).astype(np.float32))
@@ -82,10 +84,15 @@ def main():
     # timed steady-state pass (the first post-compile execution runs
     # several× slower than steady state — warm up once, then time)
     final_c, outs_c = replay(xyz, valid, t, cfg)
-    jax.block_until_ready(outs_c)
+    np.asarray(outs_c["fused"][-1])
+    # device->host sync: block_until_ready returns at ENQUEUE on the
+    # axon tunnel backend (a bare re-run timed 0.0 s); np.asarray of an
+    # output cannot complete before the computation truly finished
+    xyz_p = xyz.at[0, 0].add(1e-6)
+    np.asarray(xyz_p[0, :2])
     t0 = time.time()
-    final_c, outs_c = replay(xyz, valid, t, cfg)
-    jax.block_until_ready(outs_c)
+    final_c, outs_c = replay(xyz_p, valid, t, cfg)
+    np.asarray(outs_c["fused"][-1])
     elapsed = time.time() - t0
     n_total = n1 + n2
     loops = int(final_c.mapping.factor_count) \
