@@ -96,6 +96,9 @@ def label_components(img: RangeImage, cfg: LegoLoamConfig):
     flat = jnp.arange(V * H, dtype=jnp.int32).reshape(V, H)
     labels0 = jnp.where(segmentable, flat, _SENTINEL)
 
+    # LEGO_LABEL_IMPL=xla forces the jnp path on TPU — a debug escape
+    # hatch for isolating Pallas-kernel suspicion (used to clear the
+    # kernel during the r5 HDL-64 codegen-fault hunt)
     if (jax.default_backend() == "tpu"
             and os.environ.get("LEGO_LABEL_IMPL", "pallas") != "xla"):
         from .pallas_label import propagate_labels_pallas
